@@ -1,0 +1,27 @@
+from .base import (
+    DACPConfig,
+    DADConfig,
+    ECDAConfig,
+    EncoderConfig,
+    AugmentConfig,
+    PretrainConfig,
+    apply_overrides,
+)
+from .presets import (
+    CORPUS_PRESETS,
+    dad_preset,
+    pretrain_preset,
+)
+
+__all__ = [
+    "DACPConfig",
+    "DADConfig",
+    "ECDAConfig",
+    "EncoderConfig",
+    "AugmentConfig",
+    "PretrainConfig",
+    "apply_overrides",
+    "CORPUS_PRESETS",
+    "dad_preset",
+    "pretrain_preset",
+]

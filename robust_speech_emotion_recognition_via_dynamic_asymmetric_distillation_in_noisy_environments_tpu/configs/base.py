@@ -1,0 +1,282 @@
+"""Typed configuration tree.
+
+Replaces the reference's per-corpus module-constant config files
+(``IEMOCAP/DAD-train-IEMOCAP/config.py``, ``CASIA/DAD-train-CASIA/
+config_casia.py``, ``EMODB/DAD-train-EMODB/config_emodb.py`` and the pretrain
+``config.py`` class hierarchies) with frozen dataclasses plus an override
+mechanism — the reference's de-facto flag system was
+``importlib.reload(config); setattr(...)`` (run_ablation_studies_iemocap.py:25-40),
+which we replace with ``apply_overrides(cfg, {...})``.
+
+Knob names intentionally mirror the reference constants (USE_DACP,
+WEIGHT_ECDA, DACP_QUANTILE_START, ...) in snake_case for traceability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """emotion2vec (data2vec-multi audio) encoder hyperparameters.
+
+    Mirrors upstream/models/config.py:14-113 and audio.py:22-45 of the
+    reference (only the ``features_only`` inference path matters downstream).
+    """
+
+    embed_dim: int = 768
+    depth: int = 8
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-6
+    layer_norm_first: bool = False  # post-LN blocks (reference config.py:40)
+    prenet_depth: int = 4  # base.py:28
+    # wav2vec2-style conv feature extractor spec: (dim, kernel, stride)
+    # reference audio.py:27
+    conv_feature_layers: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    conv_pos_width: int = 95  # audio.py:33
+    conv_pos_groups: int = 16  # audio.py:37
+    conv_pos_depth: int = 5  # audio.py:41
+    # dropouts (inference path runs deterministic; kept for completeness)
+    encoder_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    post_mlp_drop: float = 0.1
+    dropout_input: float = 0.0
+    # whether raw waveforms are layer-normed before the conv stack
+    # (emotion2vec_speech_features.py:69-70 honors task.cfg.normalize)
+    normalize_input: bool = True
+    # compute dtype for the transformer stack ("bfloat16" rides the MXU)
+    dtype: str = "bfloat16"
+    # use the Pallas flash-attention kernel instead of the XLA reference path
+    use_flash_attention: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Feature-space weak/strong augmentation (reference utils.py:317-375)."""
+
+    weak_noise_std: float = 0.01  # WEAK_NOISE_STD
+    strong_noise_std: float = 0.05  # STRONG_NOISE_STD
+    feature_dropout_rate: float = 0.1  # DROPOUT_RATE used for channel dropout
+    temporal_mask_ratio: float = 0.1  # TEMPORAL_MASK_RATIO
+
+
+@dataclass(frozen=True)
+class DACPConfig:
+    """Dynamic Adaptive Confidence Pruning (reference utils.py:379-507)."""
+
+    use_dacp: bool = True  # USE_DACP
+    use_entropy_in_score: bool = True  # USE_ENTROPY_IN_SCORE
+    fixed_confidence_threshold: float = 0.9  # FIXED_CONFIDENCE_THRESHOLD
+    quality_smoothing_beta: float = 0.9  # DACP_QUALITY_SMOOTHING_BETA
+    sensitivity_k: float = 10.0  # DACP_SENSITIVITY_K
+    quantile_start: float = 0.4  # DACP_QUANTILE_START
+    quantile_end: float = 0.8  # DACP_QUANTILE_END
+    calibration_strength_lambda: float = 0.9  # DACP_CALIBRATION_STRENGTH_LAMBDA
+    threshold_smoothing_alpha: float = 0.9  # DACP_THRESHOLD_SMOOTHING_ALPHA
+    anchor_calibration_enabled: bool = True  # ANCHOR_CALIBRATION_ENABLED
+    anchor_std_k: float = 1.5  # ANCHOR_STD_K
+
+
+@dataclass(frozen=True)
+class ECDAConfig:
+    """Energy/Class-aware Distribution Alignment (reference utils.py:510-652)."""
+
+    use_ecda: bool = True  # USE_ECDA
+    use_class_aware_mmd: bool = True  # USE_CLASS_AWARE_MMD
+    kernel_mul: float = 2.0
+    kernel_num: int = 5
+    class_attention_lambda: float = 1.0  # ECDA_CLASS_ATTENTION_LAMBDA
+    compactness_weight_gamma: float = 0.1  # ECDA_COMPACTNESS_WEIGHT_GAMMA
+    repulsion_weight_delta: float = 0.1  # ECDA_REPULSION_WEIGHT_DELTA
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """Supervised pretrain stage (reference pretrain config.py:4-147)."""
+
+    corpus: str = "iemocap"
+    feat_path: str = ""
+    save_dir: str = "train_for_clean_models"
+    label_dict: Tuple[Tuple[str, int], ...] = (
+        ("ang", 0),
+        ("hap", 1),
+        ("neu", 2),
+        ("sad", 3),
+    )
+    input_dim: int = 768
+    hidden_dim: int = 256
+    num_classes: int = 4
+    max_epochs: int = 100
+    batch_size: int = 64
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-5
+    early_stopping_patience: int = 20
+    early_stopping_min_delta: float = 0.001
+    early_stopping_metric: str = "val_weighted_acc"
+    early_stopping_mode: str = "max"
+    lr_scheduler_type: str = "ReduceLROnPlateau"
+    lr_scheduler_factor: float = 0.7
+    lr_scheduler_patience: int = 8
+    lr_scheduler_min_lr: float = 1e-6
+    cosine_t_0: int = 10
+    cosine_t_mult: int = 2
+    cosine_eta_min: float = 1e-6
+    n_folds: int = 5
+    random_seed: int = 42
+    # Static-shape batching: pad sequence lengths up to the nearest bucket.
+    length_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+
+    @property
+    def label_map(self) -> Dict[str, int]:
+        return dict(self.label_dict)
+
+    @property
+    def class_names(self) -> Tuple[str, ...]:
+        return tuple(k for k, _ in self.label_dict)
+
+
+@dataclass(frozen=True)
+class DADConfig:
+    """DAD cross-domain stage (reference DAD config.py:24-218 and siblings)."""
+
+    corpus: str = "iemocap"
+    clean_data_dir: str = ""
+    noisy_data_dir: str = ""
+    pretrained_weight: str = ""
+    results_base_dir: str = "cross_domain_results"
+    label_dict: Tuple[Tuple[str, int], ...] = (
+        ("ang", 0),
+        ("hap", 1),
+        ("neu", 2),
+        ("sad", 3),
+    )
+    batch_size: int = 64
+    input_dim: int = 768
+    hidden_dim: int = 256
+    num_classes: int = 4
+    dropout_rate: float = 0.1
+    ema_momentum: float = 0.995  # EMA_MOMENTUM
+    warmup_epochs: int = 30  # WARMUP_EPOCHS
+    ecda_start_epoch: int = 30  # ECDA_START_EPOCH
+    epochs: int = 500
+    learning_rate: float = 5e-4
+    weight_decay: float = 1e-5
+    lr_scheduler: str = "cosine"  # LEARNING_RATE_SCHEDULER
+    n_folds: int = 2  # NB: reference overloads this as "fold index + 1"
+    gradient_clipping: bool = True
+    max_grad_norm: float = 1.0
+    use_label_smoothing: bool = True
+    label_smoothing_factor: float = 0.05
+    weight_consistency: float = 1.0  # WEIGHT_CONSISTENCY
+    weight_ecda: float = 0.3  # WEIGHT_ECDA
+    progressive_training: bool = True
+    initial_consistency_weight: float = 0.1
+    final_consistency_weight: float = 0.3
+    weight_ramp_epochs: int = 30
+    early_stopping: bool = True
+    patience: int = 50
+    min_delta: float = 0.001
+    validation_interval: int = 5
+    random_seed: int = 42
+    num_tracked_samples: int = 50  # confirmation-bias tracking (train.py:279)
+    length_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+
+    dacp: DACPConfig = field(default_factory=DACPConfig)
+    ecda: ECDAConfig = field(default_factory=ECDAConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+    @property
+    def label_map(self) -> Dict[str, int]:
+        return dict(self.label_dict)
+
+    @property
+    def class_names(self) -> Tuple[str, ...]:
+        return tuple(k for k, _ in self.label_dict)
+
+
+def apply_overrides(cfg: Any, overrides: Mapping[str, Any]) -> Any:
+    """Returns a copy of ``cfg`` with (possibly nested) field overrides.
+
+    Keys may be top-level field names or dotted paths into nested dataclasses
+    (``"dacp.use_dacp"``). Reference-style UPPER_SNAKE constant names are also
+    accepted and routed to the right nested config, replacing the reference's
+    ``importlib.reload`` + ``setattr`` harness mechanism.
+    """
+    out = cfg
+    for key, value in overrides.items():
+        out = _apply_one(out, key, value)
+    return out
+
+
+# Maps reference UPPER_SNAKE knobs to dotted dataclass paths.
+_REFERENCE_KNOBS = {
+    "USE_DACP": "dacp.use_dacp",
+    "USE_ENTROPY_IN_SCORE": "dacp.use_entropy_in_score",
+    "FIXED_CONFIDENCE_THRESHOLD": "dacp.fixed_confidence_threshold",
+    "DACP_QUALITY_SMOOTHING_BETA": "dacp.quality_smoothing_beta",
+    "DACP_SENSITIVITY_K": "dacp.sensitivity_k",
+    "DACP_QUANTILE_START": "dacp.quantile_start",
+    "DACP_QUANTILE_END": "dacp.quantile_end",
+    "DACP_CALIBRATION_STRENGTH_LAMBDA": "dacp.calibration_strength_lambda",
+    "DACP_THRESHOLD_SMOOTHING_ALPHA": "dacp.threshold_smoothing_alpha",
+    "ANCHOR_CALIBRATION_ENABLED": "dacp.anchor_calibration_enabled",
+    "ANCHOR_STD_K": "dacp.anchor_std_k",
+    "USE_ECDA": "ecda.use_ecda",
+    "USE_CLASS_AWARE_MMD": "ecda.use_class_aware_mmd",
+    "ECDA_CLASS_ATTENTION_LAMBDA": "ecda.class_attention_lambda",
+    "ECDA_COMPACTNESS_WEIGHT_GAMMA": "ecda.compactness_weight_gamma",
+    "ECDA_REPULSION_WEIGHT_DELTA": "ecda.repulsion_weight_delta",
+    "WEAK_NOISE_STD": "augment.weak_noise_std",
+    "STRONG_NOISE_STD": "augment.strong_noise_std",
+    "TEMPORAL_MASK_RATIO": "augment.temporal_mask_ratio",
+    "WEIGHT_ECDA": "weight_ecda",
+    "WEIGHT_CONSISTENCY": "weight_consistency",
+    "EMA_MOMENTUM": "ema_momentum",
+    "WARMUP_EPOCHS": "warmup_epochs",
+    "ECDA_START_EPOCH": "ecda_start_epoch",
+    "EPOCHS": "epochs",
+    "LEARNING_RATE": "learning_rate",
+    "BATCH_SIZE": "batch_size",
+    "N_FOLDS": "n_folds",
+    "NOISY_DATA_DIR": "noisy_data_dir",
+    "CLEAN_DATA_DIR": "clean_data_dir",
+    "PATIENCE": "patience",
+    "EARLY_STOPPING": "early_stopping",
+    "PROGRESSIVE_TRAINING": "progressive_training",
+    "INITIAL_CONSISTENCY_WEIGHT": "initial_consistency_weight",
+    "FINAL_CONSISTENCY_WEIGHT": "final_consistency_weight",
+    "WEIGHT_RAMP_EPOCHS": "weight_ramp_epochs",
+    "LABEL_SMOOTHING_FACTOR": "label_smoothing_factor",
+    "USE_LABEL_SMOOTHING": "use_label_smoothing",
+    "RANDOM_SEED": "random_seed",
+    "VALIDATION_INTERVAL": "validation_interval",
+    "MIN_DELTA": "min_delta",
+}
+
+
+def _apply_one(cfg: Any, key: str, value: Any) -> Any:
+    key = _REFERENCE_KNOBS.get(key, key)
+    if "." in key:
+        head, rest = key.split(".", 1)
+        sub = getattr(cfg, head)
+        return replace(cfg, **{head: _apply_one(sub, rest, value)})
+    if not any(f.name == key for f in dataclasses.fields(cfg)):
+        raise KeyError(f"unknown config field {key!r} on {type(cfg).__name__}")
+    return replace(cfg, **{key: value})

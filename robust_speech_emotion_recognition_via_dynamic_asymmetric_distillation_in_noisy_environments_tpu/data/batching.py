@@ -1,0 +1,120 @@
+"""Static-shape batching for XLA.
+
+The reference pads each batch to the batch max (data.py:143-170) which gives
+data-dependent shapes; under jit that would recompile per batch. Here every
+batch is padded up to one of a small fixed set of length buckets and the batch
+dimension is padded to the full batch size, with a ``row_valid`` mask marking
+real rows — so each (bucket, batch_size) pair compiles exactly once.
+
+True=pad semantics of ``padding_mask`` are preserved from the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .store import FeatureStore
+
+
+class Batch(NamedTuple):
+    feats: np.ndarray  # (B, T, D) float32
+    padding_mask: np.ndarray  # (B, T) bool, True = padded frame
+    labels: np.ndarray  # (B,) int32, -1 where absent/invalid
+    ids: np.ndarray  # (B,) int32 clip indices into the source store
+    row_valid: np.ndarray  # (B,) bool, False = padded row
+
+
+def pad_to_bucket(length: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if length <= b:
+            return b
+    # beyond the largest bucket: round up to a multiple of it
+    top = buckets[-1]
+    return int(np.ceil(length / top) * top)
+
+
+class PaddedBatchIterator:
+    """Deterministic, restartable batch iterator over a FeatureStore.
+
+    shuffle=True reshuffles each epoch from (seed, epoch); eval iterators keep
+    store order. The last partial batch is padded (never dropped), matching
+    the reference's drop_last=False DataLoaders.
+    """
+
+    def __init__(
+        self,
+        store: FeatureStore,
+        batch_size: int,
+        buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+        shuffle: bool = False,
+        seed: int = 0,
+        max_frames: Optional[int] = None,
+    ):
+        self.store = store
+        self.batch_size = int(batch_size)
+        self.buckets = tuple(buckets)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.max_frames = max_frames
+
+    def __len__(self) -> int:
+        return int(np.ceil(self.store.num / self.batch_size))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(self.store.num)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._order()
+        B = self.batch_size
+        dim = self.store.dim
+        labels = self.store.labels
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            sizes = self.store.sizes[idx]
+            t_max = int(sizes.max()) if len(sizes) else 1
+            if self.max_frames is not None:
+                t_max = min(t_max, self.max_frames)
+            T = pad_to_bucket(t_max, self.buckets)
+
+            feats = np.zeros((B, T, dim), dtype=np.float32)
+            padding_mask = np.ones((B, T), dtype=bool)
+            out_labels = np.full((B,), -1, dtype=np.int32)
+            ids = np.full((B,), -1, dtype=np.int32)
+            row_valid = np.zeros((B,), dtype=bool)
+
+            for row, clip_idx in enumerate(idx):
+                clip = self.store.clip(int(clip_idx))[:T]
+                n = len(clip)
+                feats[row, :n] = clip
+                padding_mask[row, :n] = False
+                if labels is not None:
+                    out_labels[row] = labels[int(clip_idx)]
+                ids[row] = int(clip_idx)
+                row_valid[row] = True
+
+            yield Batch(feats, padding_mask, out_labels, ids, row_valid)
+
+
+def paired_epoch(
+    clean_it: PaddedBatchIterator,
+    noisy_it: PaddedBatchIterator,
+    epoch: int,
+) -> Iterator[Tuple[Batch, Batch]]:
+    """Zips the clean and noisy train streams for one epoch, truncating to the
+    shorter one (reference train.py:479-483 max_batches=min(len,len))."""
+    clean_it.set_epoch(epoch)
+    noisy_it.set_epoch(epoch)
+    n = min(len(clean_it), len(noisy_it))
+    ci, ni = iter(clean_it), iter(noisy_it)
+    for _ in range(n):
+        yield next(ci), next(ni)
