@@ -1,0 +1,126 @@
+"""Offline noise-injection CLI.
+
+Reproduces the reference's preprocessing drivers in one tool:
+- white mode: ``add_noise_to_audio.py`` (gaussian at SNR, seed 42)
+- real mode:  ``add_real_noise_to_audio.py`` (NOISEX-92; ``type_specific``
+  root1 trees or ``random_noise`` root2 trees)
+- verification gate: ``verify_noise_injection.py``
+
+Usage::
+
+    python -m <pkg>.audio.cli inject --input_root R --output_root O \
+        --snr_db 10 --manifest_path train.tsv [--noise_root 5types \
+        --noise_mode type_specific --noise_type babble] [--verify]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ..data.manifests import read_manifest
+from ..utils import get_logger
+from .noise import (
+    NOISE_FILE_MAPPING,
+    add_real_noise_np,
+    add_white_noise_np,
+    tile_noise_np,
+)
+from .verify import verify_noise_injection
+from .wavio import read_wav, write_wav
+
+logger = get_logger(__name__)
+
+
+def _load_noise_files(noise_root: str):
+    noises = {}
+    for fname, ntype in NOISE_FILE_MAPPING.items():
+        path = os.path.join(noise_root, fname)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"missing noise file: {path}")
+        audio, _sr = read_wav(path)
+        if audio.ndim == 2:
+            audio = np.mean(audio, axis=1)
+        noises[ntype] = audio
+    return noises
+
+
+def inject(args: argparse.Namespace) -> int:
+    if os.path.isdir(args.manifest_path):
+        root, files = read_manifest(args.manifest_path)
+    else:
+        with open(args.manifest_path, encoding="utf-8") as f:
+            lines = [ln for ln in f.read().split("\n") if ln.strip()]
+        root = lines[0].strip()
+        files = [(ln.split("\t")[0], -1) for ln in lines[1:]]
+    relpaths = [rel for rel, _ in files]
+    logger.info("injecting noise into %d files at %.1f dB", len(relpaths), args.snr_db)
+
+    rng = np.random.default_rng(args.seed)
+    noises = None
+    if args.noise_root:
+        noises = _load_noise_files(args.noise_root)
+        if args.noise_mode == "type_specific" and args.noise_type not in noises:
+            raise ValueError(f"unknown noise type {args.noise_type}")
+    noise_types = sorted(noises.keys()) if noises else []
+
+    ok_count = 0
+    for rel in relpaths:
+        in_path = os.path.join(args.input_root, rel)
+        out_path = os.path.join(args.output_root, rel)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        audio, sr = read_wav(in_path)
+        if audio.ndim == 2:
+            audio = np.mean(audio, axis=1)
+        if noises is None:
+            noisy = add_white_noise_np(audio, args.snr_db, rng)
+        else:
+            if args.noise_mode == "type_specific":
+                ntype = args.noise_type
+            else:  # random noise type per sample (root2)
+                ntype = noise_types[int(rng.integers(len(noise_types)))]
+            noise = tile_noise_np(noises[ntype], len(audio))
+            noisy = add_real_noise_np(audio, noise, args.snr_db)
+        write_wav(out_path, noisy, sr)
+        ok_count += 1
+    logger.info("wrote %d noisy files to %s", ok_count, args.output_root)
+
+    if args.verify:
+        ok, results = verify_noise_injection(
+            args.input_root,
+            args.output_root,
+            relpaths,
+            args.snr_db,
+            tolerance_db=args.tolerance,
+        )
+        mean_snr = float(np.mean([s for _, s in results]))
+        logger.info("verification %s; mean achieved SNR %.2f dB",
+                    "PASSED" if ok else "FAILED", mean_snr)
+        return 0 if ok else 2
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("inject")
+    p.add_argument("--input_root", required=True)
+    p.add_argument("--output_root", required=True)
+    p.add_argument("--snr_db", type=float, default=20.0)
+    p.add_argument("--manifest_path", required=True)
+    p.add_argument("--noise_root", default=None, help="NOISEX-92 5types dir (real-noise mode)")
+    p.add_argument("--noise_mode", choices=["type_specific", "random"], default="type_specific")
+    p.add_argument("--noise_type", default="babble")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--verify", action="store_true")
+    p.add_argument("--tolerance", type=float, default=2.0)
+    p.set_defaults(func=inject)
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio import (
+    add_real_noise,
+    add_white_noise,
+    batch_add_white_noise,
+    batch_mix_noise_bank,
+    estimate_snr,
+    read_wav,
+    write_wav,
+    check_audio_format,
+    fix_audio_format,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.noise import (
+    add_real_noise_np,
+    add_white_noise_np,
+    tile_noise_np,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.cli import (
+    main as audio_cli_main,
+)
+
+
+def _tone(n=16000, sr=16000, f=440.0, amp=0.3):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * f * t)).astype(np.float64)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = _tone()
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(x, y, atol=1e-3)
+
+
+def test_white_noise_snr_np(rng):
+    x = _tone()
+    for snr in [0, 10, 20]:
+        noisy = add_white_noise_np(x, snr, rng)
+        achieved = estimate_snr(x, noisy)
+        assert abs(achieved - snr) < 1.0
+
+
+def test_white_noise_snr_jax():
+    x = _tone()
+    noisy = np.asarray(add_white_noise(x.astype(np.float32), 10.0, jax.random.PRNGKey(0)))
+    assert abs(estimate_snr(x, noisy) - 10.0) < 1.0
+
+
+def test_real_noise_snr():
+    rng = np.random.default_rng(1)
+    x = _tone()
+    noise = rng.normal(size=3000)  # shorter than signal -> tiling path
+    tiled = tile_noise_np(noise, len(x))
+    noisy = add_real_noise_np(x, tiled, 15.0)
+    assert abs(estimate_snr(x, noisy) - 15.0) < 0.5
+    # jax path agrees
+    noisy_j = np.asarray(
+        add_real_noise(x.astype(np.float32), tiled.astype(np.float32), 15.0)
+    )
+    np.testing.assert_allclose(noisy, noisy_j, atol=1e-4)
+
+
+def test_peak_normalization():
+    x = np.full(1000, 0.95)
+    noisy = add_white_noise_np(x, -10.0, np.random.default_rng(0))
+    assert np.max(np.abs(noisy)) <= 1.0 + 1e-9
+
+
+def test_batch_white_noise_masked():
+    x = np.zeros((2, 16000), np.float32)
+    x[0, :8000] = _tone(8000)
+    x[1] = _tone(16000)
+    valid = np.zeros((2, 16000), bool)
+    valid[0, :8000] = True
+    valid[1] = True
+    noisy = np.asarray(batch_add_white_noise(x, valid, 10.0, jax.random.PRNGKey(0)))
+    # padded region untouched (zero noise)
+    assert np.all(noisy[0, 8000:] == 0)
+    assert abs(estimate_snr(x[0, :8000], noisy[0, :8000]) - 10.0) < 1.0
+    assert abs(estimate_snr(x[1], noisy[1]) - 10.0) < 1.0
+
+
+def test_batch_noise_bank_modes():
+    rng = np.random.default_rng(2)
+    x = np.stack([_tone(), _tone(f=220.0)]).astype(np.float32)
+    valid = np.ones_like(x, bool)
+    bank = rng.normal(size=(5, 8000)).astype(np.float32)
+    # root1: fixed type
+    noisy = np.asarray(
+        batch_mix_noise_bank(x, valid, bank, 10.0, jax.random.PRNGKey(0), noise_type=2)
+    )
+    for i in range(2):
+        assert abs(estimate_snr(x[i], noisy[i]) - 10.0) < 0.8
+    # root2: random type per clip (5 dB keeps the mix below the clip point,
+    # so the noisy-minus-clean SNR estimate stays exact)
+    noisy2 = np.asarray(
+        batch_mix_noise_bank(
+            x, valid, bank, 5.0, jax.random.PRNGKey(1), per_sample_type=True
+        )
+    )
+    for i in range(2):
+        assert abs(estimate_snr(x[i], noisy2[i]) - 5.0) < 0.8
+
+
+def test_format_fix(tmp_path):
+    stereo = np.stack([_tone(32000, sr=32000), _tone(32000, sr=32000, f=100)], axis=1)
+    p_in = str(tmp_path / "in.wav")
+    p_out = str(tmp_path / "out.wav")
+    write_wav(p_in, stereo, 32000)
+    ok, sr, ch = check_audio_format(p_in)
+    assert not ok and sr == 32000 and ch == 2
+    fix_audio_format(p_in, p_out)
+    ok, sr, ch = check_audio_format(p_out)
+    assert ok and sr == 16000 and ch == 1
+
+
+@pytest.mark.parametrize("mode", ["white", "real"])
+def test_cli_end_to_end(tmp_path, mode):
+    # build a tiny wav tree + manifest
+    clean_root = tmp_path / "clean"
+    out_root = tmp_path / "noisy"
+    rels = ["spk/a.wav", "spk/b.wav"]
+    os.makedirs(clean_root / "spk")
+    for i, rel in enumerate(rels):
+        write_wav(str(clean_root / rel), _tone(f=300 + 100 * i), 16000)
+    manifest = tmp_path / "train.tsv"
+    with open(manifest, "w") as f:
+        print(str(clean_root), file=f)
+        for rel in rels:
+            print(f"{rel}\t16000", file=f)
+
+    argv = [
+        "inject",
+        "--input_root", str(clean_root),
+        "--output_root", str(out_root),
+        "--snr_db", "10",
+        "--manifest_path", str(manifest),
+        "--verify",
+    ]
+    if mode == "real":
+        noise_root = tmp_path / "5types"
+        os.makedirs(noise_root)
+        rng = np.random.default_rng(0)
+        for fname in ["babble.wav", "f16.wav", "factory1.wav", "hfchannel.wav", "volvo.wav"]:
+            write_wav(str(noise_root / fname), rng.normal(size=4000) * 0.1, 16000)
+        argv += ["--noise_root", str(noise_root), "--noise_mode", "random"]
+    rc = audio_cli_main(argv)
+    assert rc == 0
+    for rel in rels:
+        assert (out_root / rel).exists()
