@@ -107,7 +107,7 @@ def init_ssrl(
     feats = jnp.zeros((1, 4, input_dim), jnp.float32)
     mask = jnp.zeros((1, 4), bool)
     params = head.init(key, feats, mask)
-    return head, SSRLState(student=params, teacher=jax.tree.map(lambda x: x, params))
+    return head, SSRLState(student=params, teacher=jax.tree.map(jnp.copy, params))
 
 
 def ema_update(state: SSRLState, momentum: float) -> SSRLState:
@@ -124,11 +124,11 @@ def load_pretrain_into_ssrl(state: SSRLState, pretrain_params) -> SSRLState:
     """Maps pretrain-head params into both student and teacher
     (model.py:143-209: pre_net -> encoder.pre_net, post_net -> fc_layer)."""
     pp = pretrain_params["params"]
-    new = jax.tree.map(lambda x: x, state.student)
+    new = jax.tree.map(jnp.copy, state.student)
     new["params"]["encoder"]["pre_net"] = jax.tree.map(
         jnp.asarray, pp["pre_net"]
     )
     new["params"]["classifier"]["fc_layer"] = jax.tree.map(
         jnp.asarray, pp["post_net"]
     )
-    return SSRLState(student=new, teacher=jax.tree.map(lambda x: x, new))
+    return SSRLState(student=new, teacher=jax.tree.map(jnp.copy, new))
