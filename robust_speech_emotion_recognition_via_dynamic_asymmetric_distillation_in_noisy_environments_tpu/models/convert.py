@@ -225,7 +225,7 @@ def save_torch_file(obj: Mapping[str, Any], path: str) -> None:
 
     torch.save(
         {
-            k: torch.from_numpy(np.asarray(v)) if hasattr(v, "shape") else v
+            k: torch.from_numpy(np.array(v)) if hasattr(v, "shape") else v
             for k, v in obj.items()
         },
         path,

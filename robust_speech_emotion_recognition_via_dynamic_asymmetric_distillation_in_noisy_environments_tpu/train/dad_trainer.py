@@ -1,0 +1,410 @@
+"""DAD cross-domain trainer — the counterpart of IEMOCAPCrossDomainTrainer /
+FixedCASIACrossDomainTrainer / FixedEMODBCrossDomainTrainer (reference DAD
+train.py:44-762, train_CASIA.py, train_emodb.py) collapsed into one class
+parameterized by the corpus preset.
+
+Everything per-batch lives in the jitted DAD train step
+(dad/train_step.py); this class owns the host-side loop: noise-info parsing
+from the noisy dir name, layered results directories, anchor calibration,
+per-epoch scalars/LR, validation with teacher-student disagreement tracking,
+best-checkpoint persistence (flax msgpack + reference-layout torch .pth),
+early stopping on noisy weighted accuracy, analysis-data dumps and the final
+test-set evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections import defaultdict
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DADConfig
+from ..data.batching import Batch, PaddedBatchIterator, paired_epoch
+from ..data.folds import corpus_fold_split
+from ..data.store import FeatureStore, load_feature_store
+from ..dad import (
+    StepScalars,
+    init_dad_train_state,
+    make_dad_train_step,
+    make_eval_step,
+    run_anchor_calibration,
+    set_learning_rate,
+)
+from ..dad.train_step import cosine_lr, epoch_end_dacp
+from ..eval.metrics import evaluate_domain
+from ..eval.reports import (
+    best_detailed_results,
+    final_test_report,
+    save_confusion_matrices,
+)
+from ..models.convert import (
+    load_pretrain_head_checkpoint,
+    save_torch_file,
+    ssrl_to_torch_state_dict,
+    torch_state_dict_to_ssrl,
+)
+from ..models.heads import load_pretrain_into_ssrl
+from ..utils import dump_json, get_logger
+
+logger = get_logger(__name__)
+
+
+def extract_noise_info(noisy_path: str) -> Dict:
+    """Parses root1/root2 noise trees from the noisy dir path
+    (reference train.py:113-192)."""
+    m = re.search(r"root1-([^.]+)\.wav-(\d+)db", noisy_path, re.IGNORECASE)
+    if not m:
+        m = re.search(r"root1-([^-]+)-(\d+)db", noisy_path, re.IGNORECASE)
+    if m:
+        noise_type, db = m.group(1), m.group(2)
+        return {
+            "root_type": "root1",
+            "noise_type": noise_type,
+            "db_value": f"{db}db",
+            "display_name": f"root1-{noise_type}-{db}db",
+        }
+    m = re.search(r"root2-(\d+)db", noisy_path, re.IGNORECASE)
+    if m:
+        db = m.group(1)
+        return {
+            "root_type": "root2",
+            "noise_type": None,
+            "db_value": f"{db}db",
+            "display_name": f"root2-{db}db",
+        }
+    for pattern in (r"(\d+)db", r"(-?\d+)_?db"):
+        m = re.search(pattern, noisy_path, re.IGNORECASE)
+        if m:
+            db = m.group(1)
+            return {
+                "root_type": "unknown",
+                "noise_type": "unknown",
+                "db_value": f"{db}db",
+                "display_name": f"unknown-{db}db",
+            }
+    return {
+        "root_type": "unknown",
+        "noise_type": "unknown",
+        "db_value": "unknown_db",
+        "display_name": "unknown-unknown-unknown_db",
+    }
+
+
+class CrossDomainTrainer:
+    def __init__(
+        self,
+        cfg: DADConfig,
+        fold: int = 0,
+        experiment_name: Optional[str] = None,
+        clean_store: Optional[FeatureStore] = None,
+        noisy_store: Optional[FeatureStore] = None,
+        pretrain_params: Optional[dict] = None,
+    ):
+        self.cfg = cfg
+        self.fold = fold
+        self.experiment_name = experiment_name
+        self.noise_info = extract_noise_info(cfg.noisy_data_dir)
+        self.results_dir = self._setup_results_directory()
+        self.num_classes = cfg.num_classes
+        self.class_names = list(cfg.class_names)
+
+        self.best_noisy_weighted_acc = 0.0
+        self.best_clean_weighted_acc = 0.0
+        self.best_results = {"epoch": 0}
+        self.training_history = defaultdict(list)
+        self.patience_counter = 0
+        self.bias_analysis_log = []
+        self.tracked_sample_indices: Optional[set] = None
+
+        self._setup_data(clean_store, noisy_store)
+        self._setup_model(pretrain_params)
+        self._setup_anchors()
+        self._setup_training()
+
+    # ------------------------------------------------------------------
+    def _setup_results_directory(self) -> str:
+        base = self.cfg.results_base_dir
+        if self.experiment_name:
+            safe = re.sub(r'[\\/*?:"<>|]', "", self.experiment_name)
+            base = os.path.join(base, safe)
+        info = self.noise_info
+        if info["root_type"] == "root1":
+            d = os.path.join(
+                base, "root1", info["noise_type"], info["db_value"],
+                f"fold_{self.fold + 1}",
+            )
+        elif info["root_type"] == "root2":
+            d = os.path.join(base, "root2", info["db_value"], f"fold_{self.fold + 1}")
+        else:
+            d = os.path.join(base, "unknown", f"fold_{self.fold + 1}")
+        for sub in ("models", "plots", "reports"):
+            os.makedirs(os.path.join(d, sub), exist_ok=True)
+        return d
+
+    def _setup_data(self, clean_store, noisy_store):
+        cfg = self.cfg
+        if clean_store is None:
+            clean_store = load_feature_store(cfg.clean_data_dir, cfg.label_map)
+        if noisy_store is None:
+            noisy_store = load_feature_store(cfg.noisy_data_dir, cfg.label_map)
+        assert clean_store.validate() and noisy_store.validate()
+        self.clean_store, self.noisy_store = clean_store, noisy_store
+
+        ctr, cva, cte = corpus_fold_split(cfg.corpus, self.fold, clean_store.groups)
+        ntr, nva, nte = corpus_fold_split(cfg.corpus, self.fold, noisy_store.groups)
+
+        def it(store, idx, shuffle, bs=None, labeled=True):
+            sub = store.subset(idx)
+            if not labeled:
+                sub.labels = None  # SSL: labels withheld (dataload_noisy.py:214)
+            return PaddedBatchIterator(
+                sub,
+                bs or cfg.batch_size,
+                cfg.length_buckets,
+                shuffle=shuffle,
+                seed=cfg.random_seed,
+            )
+
+        self.clean_train = it(clean_store, ctr, True)
+        self.clean_val = it(clean_store, cva, False)
+        self.clean_test = it(clean_store, cte, False)
+        self.noisy_train = it(noisy_store, ntr, True, labeled=False)
+        self.noisy_val = it(noisy_store, nva, False)
+        self.noisy_test = it(noisy_store, nte, False)
+        # calibration loaders at batch_size*2 (train.py:324-325): clean TRAIN
+        # + noisy VAL — a preserved reference quirk
+        self.calib_clean = it(clean_store, ctr, False, bs=cfg.batch_size * 2)
+        self.calib_noisy = it(noisy_store, nva, False, bs=cfg.batch_size * 2)
+
+        n_noisy_train = len(ntr)
+        if n_noisy_train > cfg.num_tracked_samples:
+            rng = np.random.default_rng(cfg.random_seed)
+            self.tracked_sample_indices = set(
+                rng.choice(n_noisy_train, cfg.num_tracked_samples, replace=False)
+                .tolist()
+            )
+
+    def _setup_model(self, pretrain_params):
+        cfg = self.cfg
+        self.head, self.tx, self.state = init_dad_train_state(
+            cfg, jax.random.PRNGKey(cfg.random_seed)
+        )
+        if pretrain_params is None and cfg.pretrained_weight:
+            pretrain_params = load_pretrain_head_checkpoint(cfg.pretrained_weight)
+        if pretrain_params is not None:
+            ssrl = load_pretrain_into_ssrl(self.state.ssrl, pretrain_params)
+            self.state = self.state._replace(ssrl=ssrl)
+            logger.info("loaded pretrained head weights into student + teacher")
+
+    def _setup_anchors(self):
+        cfg = self.cfg
+        if cfg.dacp.use_dacp and cfg.dacp.anchor_calibration_enabled:
+            anchors = run_anchor_calibration(
+                self.head, self.state.ssrl.student, self.calib_clean,
+                self.calib_noisy, cfg,
+            )
+            logger.info("calibrated anchors: %s", np.round(anchors, 4).tolist())
+        else:
+            anchors = np.zeros(cfg.num_classes, np.float32)
+        self.anchors = jnp.asarray(anchors)
+
+    def _setup_training(self):
+        self.train_step = make_dad_train_step(self.head, self.tx, self.cfg)
+        self.eval_step = make_eval_step(self.head)
+        self._rng = jax.random.PRNGKey(self.cfg.random_seed + 1)
+
+    # ------------------------------------------------------------------
+    def is_warmup(self, epoch: int) -> bool:
+        return epoch < self.cfg.warmup_epochs
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        scalars = StepScalars.for_epoch(cfg, epoch)
+        self.state = self.state._replace(
+            opt_state=set_learning_rate(self.state.opt_state, cosine_lr(cfg, epoch))
+        )
+        totals = defaultdict(float)
+        n = 0
+        for clean_b, noisy_b in paired_epoch(self.clean_train, self.noisy_train, epoch):
+            self._rng, key = jax.random.split(self._rng)
+            self.state, metrics, tracking = self.train_step(
+                self.state, clean_b, noisy_b, scalars, self.anchors, key
+            )
+            for k in ("total_loss", "supervised_ce_loss", "consistency_loss", "ecda_loss"):
+                totals[k] += float(metrics[k])
+            n += 1
+            self._log_tracked(epoch, tracking)
+        if not self.is_warmup(epoch):
+            self.state = epoch_end_dacp(self.state, cfg)
+            self.training_history["dacp_ema_thresholds"].append(
+                np.asarray(self.state.dacp.ema_thresholds).tolist()
+            )
+            self.training_history["dacp_class_quality"].append(
+                np.asarray(self.state.dacp.quality).tolist()
+            )
+            quality = np.asarray(self.state.dacp.quality)
+            attn = np.exp(
+                cfg.ecda.class_attention_lambda * (quality.mean() - quality)
+            )
+            self.training_history["ecda_class_attention"].append(attn.tolist())
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
+    def _log_tracked(self, epoch, tracking):
+        if not self.tracked_sample_indices or self.is_warmup(epoch):
+            return
+        ids = np.asarray(tracking["ids"])
+        preds = np.asarray(tracking["pseudo_label"])
+        scores = np.asarray(tracking["certainty_score"])
+        mask = np.asarray(tracking["is_masked_in"])
+        for i, sid in enumerate(ids):
+            if int(sid) in self.tracked_sample_indices:
+                self.bias_analysis_log.append(
+                    {
+                        "epoch": epoch,
+                        "sample_id": int(sid),
+                        "pseudo_label": int(preds[i]),
+                        "certainty_score": float(scores[i]),
+                        "is_masked_in": bool(mask[i]),
+                    }
+                )
+
+    # ------------------------------------------------------------------
+    def _predict_all(self, it: PaddedBatchIterator, params):
+        y_true, y_pred = [], []
+        for b in it:
+            preds, _ = self.eval_step(params, jnp.asarray(b.feats), jnp.asarray(b.padding_mask))
+            preds = np.asarray(preds)
+            for i in range(len(preds)):
+                if b.row_valid[i] and b.labels[i] >= 0:
+                    y_true.append(int(b.labels[i]))
+                    y_pred.append(int(preds[i]))
+        return np.array(y_true), np.array(y_pred)
+
+    def validate(self, it: PaddedBatchIterator, domain: str, epoch: int = 0) -> Dict:
+        y_true, y_pred = self._predict_all(it, self.state.ssrl.student)
+        if "noisy" in domain.lower() and not self.is_warmup(epoch):
+            _t, teacher_pred = self._predict_all(it, self.state.ssrl.teacher)
+            if len(teacher_pred) == len(y_pred):
+                rate = float(np.mean(y_pred != teacher_pred))
+                self.training_history[f"disagreement_rate_{domain.lower()}"].append(rate)
+        return evaluate_domain(y_true, y_pred, self.num_classes)
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, epoch, clean_results, noisy_results, is_best):
+        if not is_best:
+            return
+        self.best_results.update(
+            {"epoch": epoch, "clean_results": clean_results, "noisy_results": noisy_results}
+        )
+        models_dir = os.path.join(self.results_dir, "models")
+        # reference-layout torch checkpoint for cross-compat with the
+        # reference's inference/analysis scripts
+        sd = ssrl_to_torch_state_dict(self.state.ssrl)
+        save_torch_file(sd, os.path.join(models_dir, f"{self.cfg.corpus}_cross_domain_best.pth"))
+        best_detailed_results(
+            self.results_dir, self.noise_info, self.fold, epoch,
+            clean_results, noisy_results, self.class_names, is_best=True,
+        )
+        save_confusion_matrices(
+            self.results_dir, clean_results, noisy_results, epoch,
+            self.class_names, self.noise_info["display_name"], is_best=True,
+        )
+        logger.info("best checkpoint saved at epoch %d", epoch + 1)
+
+    def check_early_stopping(self, noisy_results, is_best) -> bool:
+        if not self.cfg.early_stopping:
+            return False
+        if is_best:
+            self.patience_counter = 0
+            return False
+        self.patience_counter += 1
+        return self.patience_counter >= self.cfg.patience
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict:
+        cfg = self.cfg
+        logger.info(
+            "starting %s cross-domain training fold %d (%s)",
+            cfg.corpus, self.fold + 1, self.noise_info["display_name"],
+        )
+        for epoch in range(cfg.epochs):
+            avg = self.train_epoch(epoch)
+            for k, v in avg.items():
+                self.training_history[k].append(v)
+
+            should_validate = (epoch + 1) % cfg.validation_interval == 0 or not self.is_warmup(epoch)
+            if not should_validate:
+                continue
+            clean_results = self.validate(self.clean_val, "Clean", epoch)
+            noisy_results = self.validate(self.noisy_val, "Noisy", epoch)
+            is_best = (
+                noisy_results["weighted_accuracy"]
+                > self.best_noisy_weighted_acc + cfg.min_delta
+            )
+            if is_best:
+                self.best_noisy_weighted_acc = noisy_results["weighted_accuracy"]
+                self.best_clean_weighted_acc = clean_results["weighted_accuracy"]
+            self.save_checkpoint(epoch, clean_results, noisy_results, is_best)
+            logger.info(
+                "epoch %d/%d | total %.4f ce %.4f kd %.4f ecda %.4f | noisy WA %.2f%%%s",
+                epoch + 1, cfg.epochs, avg.get("total_loss", 0),
+                avg.get("supervised_ce_loss", 0), avg.get("consistency_loss", 0),
+                avg.get("ecda_loss", 0), noisy_results["weighted_accuracy"],
+                " *best*" if is_best else "",
+            )
+            if self.check_early_stopping(noisy_results, is_best):
+                logger.info("early stopping triggered")
+                break
+
+        self._save_analysis_data()
+        self._evaluate_on_test_set()
+        return {
+            "best_noisy_weighted_acc": self.best_noisy_weighted_acc,
+            "results_dir": self.results_dir,
+        }
+
+    def _save_analysis_data(self):
+        dump_json(
+            dict(self.training_history),
+            os.path.join(self.results_dir, "reports", "training_history.json"),
+        )
+        if self.bias_analysis_log:
+            dump_json(
+                self.bias_analysis_log,
+                os.path.join(self.results_dir, "reports", "confirmation_bias_log.json"),
+            )
+
+    def _evaluate_on_test_set(self):
+        best_path = os.path.join(
+            self.results_dir, "models", f"{self.cfg.corpus}_cross_domain_best.pth"
+        )
+        if os.path.exists(best_path):
+            from ..models.convert import load_torch_file
+
+            self.state = self.state._replace(
+                ssrl=torch_state_dict_to_ssrl(load_torch_file(best_path))
+            )
+        clean_test = self.validate(self.clean_test, "Clean_Test")
+        noisy_test = self.validate(self.noisy_test, "Noisy_Test")
+        logger.info(
+            "final test | clean WA %.2f%% | noisy WA %.2f%%",
+            clean_test["weighted_accuracy"], noisy_test["weighted_accuracy"],
+        )
+        best_detailed_results(
+            self.results_dir, self.noise_info, self.fold, 999,
+            clean_test, noisy_test, self.class_names, is_best=False,
+        )
+        save_confusion_matrices(
+            self.results_dir, clean_test, noisy_test, 999, self.class_names,
+            self.noise_info["display_name"],
+        )
+        final_test_report(
+            self.results_dir, self.noise_info, self.fold,
+            clean_test, noisy_test, self.best_noisy_weighted_acc,
+        )
+        return clean_test, noisy_test

@@ -1,0 +1,129 @@
+import json
+import os
+
+import numpy as np
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    dad_preset,
+    pretrain_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data import (
+    load_feature_store,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+    CrossDomainTrainer,
+    extract_noise_info,
+    train_with_early_stopping,
+)
+
+from helpers import make_iemocap_dir
+
+LM = {"ang": 0, "hap": 1, "neu": 2, "sad": 3}
+
+
+def _stores(tmp_path, n=80, dim=12):
+    clean_dir, *_ = make_iemocap_dir(tmp_path / "clean", n=n, dim=dim, seed=0)
+    noisy_dir, *_ = make_iemocap_dir(tmp_path / "noisy", n=n, dim=dim, seed=0)
+    clean = load_feature_store(clean_dir, LM)
+    noisy = load_feature_store(noisy_dir, LM)
+    # make features class-separable so training does something
+    for store in (clean, noisy):
+        for i in range(store.num):
+            o, s = int(store.offsets[i]), int(store.sizes[i])
+            store.feats[o : o + s] += store.labels[i] * 0.8
+    noisy.feats += np.random.default_rng(1).normal(0, 0.3, noisy.feats.shape).astype(
+        np.float32
+    )
+    return clean, noisy
+
+
+def test_noise_info_parsing():
+    assert extract_noise_info(r"C:\x\root1-babble-0db")["display_name"] == "root1-babble-0db"
+    assert extract_noise_info("/d/root1-f16.wav-20db")["noise_type"] == "f16"
+    info = extract_noise_info("/d/root2-15db")
+    assert info["root_type"] == "root2" and info["db_value"] == "15db"
+    assert extract_noise_info("/d/whatever")["root_type"] == "unknown"
+
+
+def test_pretrain_e2e(tmp_path):
+    clean, _ = _stores(tmp_path, n=80, dim=12)
+    cfg = pretrain_preset(
+        "iemocap",
+        input_dim=12,
+        hidden_dim=8,
+        max_epochs=4,
+        batch_size=16,
+        save_dir=str(tmp_path / "models"),
+        length_buckets=(32,),
+        early_stopping_patience=10,
+    )
+    summary = train_with_early_stopping(cfg, store=clean, folds=(0,))
+    assert 0.0 <= summary["mean_test_accuracy"] <= 1.0
+    save_dir = str(tmp_path / "models")
+    assert os.path.exists(os.path.join(save_dir, "best_model_fold_1.ckpt"))
+    assert os.path.exists(os.path.join(save_dir, "test_results.json"))
+    assert os.path.exists(os.path.join(save_dir, "training_history.json"))
+    hist = json.load(open(os.path.join(save_dir, "training_history.json")))
+    assert len(hist["fold_1"]["train_loss"]) == 4
+
+    # the exported ckpt is loadable as a torch-layout state dict
+    import torch
+
+    sd = torch.load(os.path.join(save_dir, "best_model_fold_1.ckpt"), weights_only=False)
+    assert sd["pre_net.weight"].shape == (8, 12)
+    assert sd["post_net.weight"].shape == (4, 8)
+
+
+def test_dad_e2e(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    clean, noisy = _stores(tmp_path, n=80, dim=12)
+    cfg = dad_preset(
+        "iemocap",
+        input_dim=12,
+        hidden_dim=8,
+        batch_size=16,
+        epochs=4,
+        warmup_epochs=1,
+        ecda_start_epoch=1,
+        weight_ramp_epochs=2,
+        validation_interval=1,
+        noisy_data_dir="data/root1-babble-10db",
+        length_buckets=(32,),
+        num_tracked_samples=10,
+    )
+    trainer = CrossDomainTrainer(cfg, fold=0, clean_store=clean, noisy_store=noisy)
+    result = trainer.train()
+    rd = result["results_dir"]
+    assert "root1/babble/10db/fold_1" in rd.replace("\\", "/")
+    # artifact checklist (the reference's report contract)
+    reports = os.listdir(os.path.join(rd, "reports"))
+    assert any(f.startswith("BEST_detailed_results_epoch_") for f in reports)
+    assert "FINAL_test_set_results.json" in reports
+    assert "training_history.json" in reports
+    assert "confirmation_bias_log.json" in reports
+    models = os.listdir(os.path.join(rd, "models"))
+    assert "iemocap_cross_domain_best.pth" in models
+
+    hist = json.load(
+        open(os.path.join(rd, "reports", "training_history.json"))
+    )
+    assert "dacp_ema_thresholds" in hist and len(hist["dacp_ema_thresholds"]) == 3
+    assert "ecda_class_attention" in hist
+    assert "disagreement_rate_noisy" in hist
+    assert len(hist["total_loss"]) == 4
+
+    bias = json.load(open(os.path.join(rd, "reports", "confirmation_bias_log.json")))
+    assert {"epoch", "sample_id", "pseudo_label", "certainty_score", "is_masked_in"} <= set(
+        bias[0].keys()
+    )
+
+    final = json.load(open(os.path.join(rd, "reports", "FINAL_test_set_results.json")))
+    assert final["final_test_results"]["noisy_domain"]["weighted_accuracy"].endswith("%")
+
+    # exported best checkpoint loads in the reference torch layout
+    import torch
+
+    sd = torch.load(os.path.join(rd, "models", "iemocap_cross_domain_best.pth"),
+                    weights_only=False)
+    assert "student_encoder.pre_net.weight" in sd
+    assert "teacher_classifier.fc_layer.bias" in sd
