@@ -1,0 +1,163 @@
+"""North-star benchmark: fused extract+train clips/sec/chip.
+
+Measures the fully fused TPU path (waveform -> on-device white-noise
+injection -> emotion2vec 768-d transformer in bf16 with the Pallas attention
+kernel -> complete DAD teacher-student step: CE + DACP + KL consistency +
+ECDA + Adam + EMA) and reports clips processed per second per chip.
+
+``vs_baseline`` compares against the reference implementation style measured
+on this host: the same encoder forward executed clip-by-clip in torch
+(fp32, CPU — the reference's fairseq extraction loop semantics,
+emotion2vec_speech_features.py:95-119) plus a torch head train step. The
+reference publishes no numbers and cannot run on TPU (BASELINE.md), so the
+torch-CPU equivalent is the only measurable baseline in this environment.
+
+Prints ONE JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+CLIP_SECONDS = 4.0
+SR = 16000
+B = 32  # clips per stream per step (clean + noisy = 2B clips per step)
+T = int(CLIP_SECONDS * SR)
+STEPS = 20
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        EncoderConfig,
+        dad_preset,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.dad import (
+        StepScalars,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        FusedConfig,
+        init_fused,
+        make_fused_extract_train_step,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.fused import (
+        FusedBatch,
+    )
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    log(f"backend: {jax.default_backend()} devices={len(jax.devices())}")
+
+    enc_cfg = EncoderConfig(dtype="bfloat16", use_flash_attention=on_tpu)
+    dad_cfg = dad_preset(
+        "iemocap", batch_size=B, warmup_epochs=1, ecda_start_epoch=1, epochs=500
+    )
+    cfg = FusedConfig(encoder=enc_cfg, dad=dad_cfg, inject_snr_db=10.0)
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=T
+    )
+    step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
+
+    rng = np.random.default_rng(0)
+
+    def batch(labeled):
+        labels = (
+            rng.integers(0, 4, B).astype(np.int32) if labeled else np.full(B, -1, np.int32)
+        )
+        return FusedBatch(
+            wav=jnp.asarray(rng.normal(size=(B, T)) * 0.1, jnp.float32),
+            wav_mask=jnp.zeros((B, T), bool),
+            labels=jnp.asarray(labels),
+            row_valid=jnp.ones(B, bool),
+        )
+
+    clean, noisy = batch(True), batch(False)
+    scalars = StepScalars.for_epoch(dad_cfg, 40)
+    anchors = jnp.zeros(4)
+
+    t0 = time.time()
+    state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
+                          jax.random.PRNGKey(0))
+    jax.block_until_ready(metrics["total_loss"])
+    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(metrics['total_loss']):.4f}")
+
+    t0 = time.time()
+    for i in range(STEPS):
+        state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
+                              jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.time() - t0
+    clips_per_sec = 2 * B * STEPS / dt
+    log(f"TPU: {STEPS} steps in {dt:.2f}s -> {clips_per_sec:.1f} clips/s/chip")
+    return clips_per_sec
+
+
+def bench_torch_baseline(n_clips: int = 8):
+    """Reference-style clip-by-clip torch extraction + head train step."""
+    import torch
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        EncoderConfig,
+    )
+    from torch_mirror import mirror_extract, rand_sd
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    cfg = EncoderConfig(dtype="float32", use_flash_attention=False)
+    sd = rand_sd(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    wavs = [rng.normal(size=T).astype(np.float32) * 0.1 for _ in range(n_clips)]
+
+    # warm one clip (allocations, threading)
+    mirror_extract(sd, cfg, wavs[0][: SR // 2])
+
+    t0 = time.time()
+    feats = [mirror_extract(sd, cfg, w) for w in wavs]
+    # head train step cost (tiny, but keep the comparison honest)
+    head = torch.nn.Sequential(torch.nn.Linear(768, 256), torch.nn.ReLU())
+    clf = torch.nn.Linear(256, 4)
+    opt = torch.optim.Adam(list(head.parameters()) + list(clf.parameters()), lr=5e-4)
+    x = torch.stack([torch.from_numpy(f).mean(0) for f in feats])
+    y = torch.randint(0, 4, (n_clips,))
+    loss = torch.nn.functional.cross_entropy(clf(head(x)), y)
+    opt.zero_grad()
+    loss.backward()
+    opt.step()
+    dt = time.time() - t0
+    cps = n_clips / dt
+    log(f"torch-CPU baseline: {n_clips} clips in {dt:.2f}s -> {cps:.2f} clips/s")
+    return cps
+
+
+def main():
+    tpu_cps = bench_tpu()
+    try:
+        base_cps = bench_torch_baseline()
+    except Exception as e:  # pragma: no cover
+        log(f"baseline failed: {e}")
+        base_cps = None
+    vs = tpu_cps / base_cps if base_cps else None
+    print(
+        json.dumps(
+            {
+                "metric": "fused extract+DAD-train throughput (vs torch-CPU reference impl)",
+                "value": round(tpu_cps, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -172,7 +172,7 @@ class AltAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
 
-        if self.use_flash and bias is None and _on_tpu():
+        if self.use_flash and bias is None:
             from ..ops.attention import flash_attention
 
             out = flash_attention(
@@ -199,13 +199,6 @@ class AltAttention(nn.Module):
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except RuntimeError:  # pragma: no cover
-        return False
 
 
 class AltBlock(nn.Module):

@@ -1,0 +1,27 @@
+from .mesh import (
+    batch_sharding,
+    encoder_param_sharding,
+    make_mesh,
+    replicated,
+)
+from .sharded import (
+    make_sharded_dad_train_step,
+    shard_dad_state,
+)
+from .fused import (
+    FusedConfig,
+    init_fused,
+    make_fused_extract_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "encoder_param_sharding",
+    "make_sharded_dad_train_step",
+    "shard_dad_state",
+    "FusedConfig",
+    "init_fused",
+    "make_fused_extract_train_step",
+]

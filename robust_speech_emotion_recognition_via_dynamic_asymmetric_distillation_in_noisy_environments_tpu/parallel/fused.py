@@ -1,0 +1,211 @@
+"""Fused extract+train: waveform -> emotion2vec encoder -> DAD step, one XLA
+program over a (dp, tp) mesh.
+
+The reference runs feature extraction as an offline per-clip pass
+(emotion2vec_speech_features.py) and training as a separate stage; on TPU we
+fuse them: the clean/noisy waveform batches go through the (frozen,
+tp-sharded) transformer and straight into the teacher-student DAD losses
+without touching the host. This is the north-star benchmark path
+(BASELINE.json: "clips/sec/chip for the fused extract+train step").
+
+Noise can be injected on-device too (audio.batch_mix_noise_bank), making the
+whole reference preprocessing pipeline a single jitted function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..configs import DADConfig, EncoderConfig
+from ..dad.augment import strong_augment, weak_augment
+from ..dad.dacp import dacp_mask, fixed_threshold_mask
+from ..dad.ecda import ecda_loss
+from ..dad.train_step import DADTrainState, StepScalars, smoothed_ce
+from ..models.emotion2vec import Emotion2vecEncoder, normalize_wav
+from ..models.heads import DADHead, SSRLState, ema_update
+from .mesh import batch_sharding, encoder_param_sharding, replicated
+
+
+@dataclass(frozen=True)
+class FusedConfig:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    dad: DADConfig = field(default_factory=DADConfig)
+    # white-noise SNR injected on-device into the "noisy" stream (optional)
+    inject_snr_db: Optional[float] = None
+
+
+class FusedBatch(NamedTuple):
+    wav: jax.Array  # (B, T) waveforms
+    wav_mask: jax.Array  # (B, T) bool True=pad
+    labels: jax.Array  # (B,)
+    row_valid: jax.Array  # (B,)
+
+
+def init_fused(cfg: FusedConfig, key: jax.Array, example_len: int = 16000):
+    """Initializes encoder + DAD head params and optimizer."""
+    from ..dad.train_step import build_optimizer, init_dad_train_state
+
+    k_enc, k_head = jax.random.split(key)
+    encoder = Emotion2vecEncoder(cfg.encoder)
+    enc_params = encoder.init(k_enc, jnp.zeros((1, example_len), jnp.float32))
+    head, tx, state = init_dad_train_state(cfg.dad, k_head)
+    return encoder, enc_params, head, tx, state
+
+
+def make_fused_extract_train_step(
+    encoder: Emotion2vecEncoder,
+    head: DADHead,
+    tx,
+    cfg: FusedConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Returns step(enc_params, state, clean: FusedBatch, noisy: FusedBatch,
+    scalars, anchors, key) -> (state', metrics).
+
+    The encoder is frozen (features are precomputed in the reference
+    pipeline); only head params get gradients. With a mesh, encoder params are
+    tp-sharded and batches dp-sharded.
+    """
+    dad = cfg.dad
+    smoothing = dad.label_smoothing_factor if dad.use_label_smoothing else 0.0
+
+    def extract(enc_params, wav, wav_mask):
+        wav = normalize_wav(wav, wav_mask) if cfg.encoder.normalize_input else wav
+        feats, frame_mask = encoder.apply(enc_params, wav, wav_mask)
+        return jax.lax.stop_gradient(feats.astype(jnp.float32)), frame_mask
+
+    def loss_fn(student, teacher, dacp_state, enc_params, clean: FusedBatch,
+                noisy: FusedBatch, scalars: StepScalars, anchors, key):
+        k_inj, k_dc, k_w, k_s, k_ds = jax.random.split(key, 5)
+
+        noisy_wav = noisy.wav
+        if cfg.inject_snr_db is not None:
+            from ..audio.noise import batch_add_white_noise
+
+            noisy_wav = batch_add_white_noise(
+                noisy_wav, ~noisy.wav_mask, cfg.inject_snr_db, k_inj
+            )
+
+        clean_feats, clean_fmask = extract(enc_params, clean.wav, clean.wav_mask)
+        noisy_feats, noisy_fmask = extract(enc_params, noisy_wav, noisy.wav_mask)
+
+        clean_logits, clean_emb = head.apply(
+            student, clean_feats, clean_fmask, deterministic=False,
+            rngs={"dropout": k_dc},
+        )
+        ce = smoothed_ce(clean_logits, clean.labels, clean.row_valid, smoothing)
+
+        weak = weak_augment(k_w, noisy_feats, dad.augment)
+        strong = strong_augment(k_s, noisy_feats, dad.augment)
+        teacher_logits, _ = head.apply(
+            jax.lax.stop_gradient(teacher), weak, noisy_fmask, deterministic=True
+        )
+        teacher_probs = jax.nn.softmax(teacher_logits, axis=-1)
+
+        if dad.dacp.use_dacp:
+            new_dacp, mask, scores, wce = dacp_mask(
+                dacp_state, teacher_probs, noisy.row_valid, scalars.gamma_e,
+                anchors, dad.dacp,
+            )
+        else:
+            mask, scores, wce = fixed_threshold_mask(
+                teacher_probs, noisy.row_valid, dad.dacp.fixed_confidence_threshold
+            )
+            new_dacp = dacp_state
+
+        student_logits, strong_emb = head.apply(
+            student, strong, noisy_fmask, deterministic=False,
+            rngs={"dropout": k_ds},
+        )
+        student_logp = jax.nn.log_softmax(student_logits, axis=-1)
+        mask_f = mask.astype(jnp.float32)
+        count = jnp.sum(mask_f)
+        kl = jnp.sum(
+            teacher_probs * (jnp.log(teacher_probs + 1e-12) - student_logp), axis=-1
+        )
+        consistency = jnp.where(count > 1, jnp.sum(kl * mask_f) / (count + 1e-8), 0.0)
+
+        preds = jnp.argmax(teacher_probs, axis=-1)
+        if dad.ecda.use_ecda:
+            ecda = ecda_loss(
+                clean_emb, strong_emb, clean.labels, preds, mask, scores, wce,
+                clean.row_valid, noisy.row_valid, dad.ecda,
+            )
+            ecda = jnp.where((count > 1) & (scalars.w_ecda > 0), ecda, 0.0)
+        else:
+            ecda = jnp.asarray(0.0, jnp.float32)
+
+        consistency = jnp.where(scalars.warmup, 0.0, consistency)
+        ecda = jnp.where(scalars.warmup, 0.0, ecda)
+        new_dacp = jax.tree.map(
+            lambda new, old: jnp.where(scalars.warmup, old, new), new_dacp, dacp_state
+        )
+        total = ce + scalars.w_consistency * consistency + scalars.w_ecda * ecda
+        metrics = {
+            "total_loss": total,
+            "supervised_ce_loss": ce,
+            "consistency_loss": consistency,
+            "ecda_loss": ecda,
+            "high_confidence_count": count,
+        }
+        return total, (new_dacp, metrics)
+
+    def step(enc_params, state: DADTrainState, clean: FusedBatch,
+             noisy: FusedBatch, scalars: StepScalars, anchors, key):
+        grads, (new_dacp, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.ssrl.student, state.ssrl.teacher, state.dacp, enc_params,
+            clean, noisy, scalars, anchors, key,
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.ssrl.student)
+        new_student = optax.apply_updates(state.ssrl.student, updates)
+        ssrl = SSRLState(student=new_student, teacher=state.ssrl.teacher)
+        ssrl_ema = ema_update(ssrl, cfg.dad.ema_momentum)
+        new_teacher = jax.tree.map(
+            lambda cold, hot: jnp.where(scalars.warmup, cold, hot),
+            ssrl.teacher, ssrl_ema.teacher,
+        )
+        return (
+            DADTrainState(
+                ssrl=SSRLState(new_student, new_teacher),
+                opt_state=new_opt,
+                dacp=new_dacp,
+            ),
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(1,))
+
+    rep = replicated(mesh)
+    dp1 = batch_sharding(mesh, 1)
+    dp2 = batch_sharding(mesh, 2)
+    batch_spec = FusedBatch(wav=dp2, wav_mask=dp2, labels=dp1, row_valid=dp1)
+
+    return jax.jit(
+        step,
+        donate_argnums=(1,),
+        in_shardings=(
+            None,  # enc_params: placed by the caller (tp-sharded)
+            None,  # state: replicated placement by caller
+            batch_spec,
+            batch_spec,
+            rep,
+            rep,
+            rep,
+        ),
+        out_shardings=None,
+    )
+
+
+def place_fused(enc_params, state: DADTrainState, mesh: Mesh):
+    """Device placement: encoder tp-sharded, DAD state replicated."""
+    enc_sharded = jax.device_put(enc_params, encoder_param_sharding(mesh, enc_params))
+    rep = replicated(mesh)
+    state_rep = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    return enc_sharded, state_rep

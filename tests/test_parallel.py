@@ -1,0 +1,141 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    EncoderConfig,
+    dad_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.dad import (
+    StepScalars,
+    init_dad_train_state,
+    make_dad_train_step,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.batching import (
+    Batch,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+    FusedConfig,
+    init_fused,
+    make_fused_extract_train_step,
+    make_mesh,
+    make_sharded_dad_train_step,
+    shard_dad_state,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.fused import (
+    FusedBatch,
+    place_fused,
+)
+
+CFG = dad_preset("iemocap", input_dim=16, hidden_dim=8, batch_size=16,
+                 warmup_epochs=1, ecda_start_epoch=1, epochs=8,
+                 weight_ramp_epochs=2)
+
+TINY_ENC = EncoderConfig(
+    embed_dim=16, depth=2, num_heads=2, prenet_depth=1,
+    conv_feature_layers=((8, 4, 2), (8, 3, 2)),
+    conv_pos_width=6, conv_pos_groups=2, conv_pos_depth=2,
+    dtype="float32", use_flash_attention=False,
+)
+
+
+def _batch(rng, B=16, T=6, D=16, labeled=True):
+    feats = rng.normal(size=(B, T, D)).astype(np.float32)
+    pm = np.zeros((B, T), bool)
+    labels = rng.integers(0, 4, B).astype(np.int32) if labeled else np.full(B, -1, np.int32)
+    return Batch(feats, pm, labels, np.arange(B, dtype=np.int32), np.ones(B, bool))
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, tp=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("dp", "tp")
+
+
+def test_sharded_dad_step_matches_single_device(rng):
+    head, tx, state = init_dad_train_state(CFG, jax.random.PRNGKey(0))
+    clean, noisy = _batch(rng), _batch(rng, labeled=False)
+    scalars = StepScalars.for_epoch(CFG, 4)
+    anchors = jnp.zeros(4)
+    key = jax.random.PRNGKey(7)
+
+    base = make_dad_train_step(head, tx, CFG)
+    s1, m1, _ = base(state, clean, noisy, scalars, anchors, key)
+
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    _h, _tx, state2 = init_dad_train_state(CFG, jax.random.PRNGKey(0))
+    state2 = shard_dad_state(state2, mesh)
+    sharded = make_sharded_dad_train_step(head, tx, CFG, mesh)
+    s2, m2, _ = sharded(state2, clean, noisy, scalars, anchors, key)
+
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.ssrl.student["params"]["encoder"]["pre_net"]["kernel"]),
+        np.asarray(s2.ssrl.student["params"]["encoder"]["pre_net"]["kernel"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.dacp.ema_thresholds), np.asarray(s2.dacp.ema_thresholds),
+        rtol=1e-5,
+    )
+
+
+def _fused_batch(rng, B=8, T=256, labeled=True):
+    wav = rng.normal(size=(B, T)).astype(np.float32) * 0.1
+    mask = np.zeros((B, T), bool)
+    mask[0, T // 2:] = True
+    labels = rng.integers(0, 4, B).astype(np.int32) if labeled else np.full(B, -1, np.int32)
+    return FusedBatch(
+        wav=jnp.asarray(wav),
+        wav_mask=jnp.asarray(mask),
+        labels=jnp.asarray(labels),
+        row_valid=jnp.ones(B, bool),
+    )
+
+
+def test_fused_extract_train_multichip(rng):
+    cfg = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_db=10.0)
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    mesh = make_mesh(8, tp=2)
+    step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh)
+    with mesh:
+        enc_s, state_s = place_fused(enc_params, state, mesh)
+        clean, noisy = _fused_batch(rng), _fused_batch(rng, labeled=False)
+        scalars = StepScalars.for_epoch(CFG, 4)
+        state2, metrics = step(
+            enc_s, state_s, clean, noisy, scalars, jnp.zeros(4), jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
+        # run a second step to confirm state threading works
+        state3, metrics2 = step(
+            enc_s, state2, clean, noisy, scalars, jnp.zeros(4), jax.random.PRNGKey(2)
+        )
+        assert np.isfinite(float(metrics2["total_loss"]))
+
+
+def test_fused_matches_unsharded(rng):
+    cfg = FusedConfig(encoder=TINY_ENC, dad=CFG)
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    clean, noisy = _fused_batch(rng), _fused_batch(rng, labeled=False)
+    scalars = StepScalars.for_epoch(CFG, 4)
+
+    single = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
+    _s1, m1 = single(enc_params, state, clean, noisy, scalars, jnp.zeros(4),
+                     jax.random.PRNGKey(1))
+
+    mesh = make_mesh(8, tp=2)
+    _e2, _p2, _h2, tx2, state2 = init_fused(cfg, jax.random.PRNGKey(0), example_len=256)
+    sharded = make_fused_extract_train_step(encoder, head, tx2, cfg, mesh)
+    with mesh:
+        enc_s, state_s = place_fused(enc_params, state2, mesh)
+        _s2, m2 = sharded(enc_s, state_s, clean, noisy, scalars, jnp.zeros(4),
+                          jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4
+    )
