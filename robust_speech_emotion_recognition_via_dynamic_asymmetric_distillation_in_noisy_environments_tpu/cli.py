@@ -1,0 +1,214 @@
+"""Unified CLI: one binary for the whole pipeline.
+
+Replaces the reference's PowerShell drivers + per-stage scripts:
+
+    python -m <pkg> manifest   --corpus iemocap --root ... --dest ...
+    python -m <pkg> inject     --input_root ... --output_root ... --snr_db 10 ...
+    python -m <pkg> extract    --data ... --checkpoint ... --save-dir ...
+    python -m <pkg> pretrain   --corpus emodb --feat-path ... --save-dir ...
+    python -m <pkg> dad        --corpus iemocap --clean ... --noisy ... --weights ...
+    python -m <pkg> infer      --weights ... --test-data ...
+    python -m <pkg> ablation   --corpus iemocap --suite standard ...
+    python -m <pkg> analyze    --kind disagreement --results-dir ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_manifest(args):
+    from .data import manifests
+
+    if args.corpus == "iemocap":
+        if args.eval_dir:
+            labels = manifests.parse_iemocap_emo_evaluation(args.eval_dir)
+            manifests.build_iemocap_manifest(args.root, args.dest, labels=labels)
+        else:
+            manifests.build_iemocap_manifest(args.root, args.dest, label_path=args.label_path)
+    elif args.corpus == "casia":
+        manifests.build_casia_manifest(args.root, args.dest)
+    elif args.corpus == "emodb":
+        manifests.build_emodb_manifest(args.root, args.dest)
+    return 0
+
+
+def _cmd_inject(args):
+    from .audio.cli import main as inject_main
+
+    argv = ["inject", "--input_root", args.input_root, "--output_root",
+            args.output_root, "--snr_db", str(args.snr_db),
+            "--manifest_path", args.manifest_path, "--seed", str(args.seed)]
+    if args.noise_root:
+        argv += ["--noise_root", args.noise_root, "--noise_mode", args.noise_mode,
+                 "--noise_type", args.noise_type]
+    if args.verify:
+        argv += ["--verify"]
+    return inject_main(argv)
+
+
+def _cmd_extract(args):
+    from .models.extract import main as extract_main
+
+    return extract_main(
+        ["--data", args.data, "--split", args.split, "--checkpoint",
+         args.checkpoint, "--save-dir", args.save_dir, "--layer", str(args.layer),
+         "--batch-size", str(args.batch_size)]
+    )
+
+
+def _cmd_pretrain(args):
+    from .configs import pretrain_preset
+    from .train import train_with_early_stopping
+
+    cfg = pretrain_preset(
+        args.corpus,
+        feat_path=args.feat_path,
+        save_dir=args.save_dir,
+        max_epochs=args.max_epochs,
+    )
+    folds = tuple(int(f) for f in args.folds.split(",")) if args.folds else None
+    train_with_early_stopping(cfg, folds=folds)
+    return 0
+
+
+def _cmd_dad(args):
+    from .configs import dad_preset
+    from .train import CrossDomainTrainer
+
+    cfg = dad_preset(
+        args.corpus,
+        clean_data_dir=args.clean,
+        noisy_data_dir=args.noisy,
+        pretrained_weight=args.weights or "",
+        epochs=args.epochs,
+    )
+    trainer = CrossDomainTrainer(cfg, fold=args.fold, experiment_name=args.name)
+    trainer.train()
+    return 0
+
+
+def _cmd_infer(args):
+    from .eval.inference import CrossDomainInference
+
+    inf = CrossDomainInference(
+        args.weights, args.test_data, args.output_dir, fold=args.fold,
+        use_teacher=args.teacher,
+    )
+    inf.run_inference(args.split)
+    return 0
+
+
+def _cmd_ablation(args):
+    from .configs import dad_preset
+    from .exp import GRANULAR_ABLATIONS, STANDARD_ABLATIONS, run_ablation_suite
+
+    cfg = dad_preset(
+        args.corpus,
+        clean_data_dir=args.clean,
+        noisy_data_dir=args.noisy,
+        pretrained_weight=args.weights or "",
+        epochs=args.epochs,
+    )
+    suite = STANDARD_ABLATIONS if args.suite == "standard" else GRANULAR_ABLATIONS
+    run_ablation_suite(cfg, suite, fold=args.fold, output_path=args.output)
+    return 0
+
+
+def _cmd_analyze(args):
+    if args.kind == "disagreement":
+        from .analysis import analyze_disagreement as fn
+    elif args.kind == "bias":
+        from .analysis import analyze_confirmation_bias as fn
+    elif args.kind == "dacp":
+        from .analysis import analyze_dacp_evolution as fn
+    else:
+        raise SystemExit(f"unknown analysis kind {args.kind}")
+    print(fn(args.results_dir, args.out_dir))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="dad_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("manifest")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
+    p.add_argument("--root", required=True)
+    p.add_argument("--dest", required=True)
+    p.add_argument("--label_path", default=None)
+    p.add_argument("--eval_dir", default=None, help="IEMOCAP EmoEvaluation dir")
+    p.set_defaults(func=_cmd_manifest)
+
+    p = sub.add_parser("inject")
+    p.add_argument("--input_root", required=True)
+    p.add_argument("--output_root", required=True)
+    p.add_argument("--snr_db", type=float, default=20.0)
+    p.add_argument("--manifest_path", required=True)
+    p.add_argument("--noise_root", default=None)
+    p.add_argument("--noise_mode", choices=["type_specific", "random"], default="type_specific")
+    p.add_argument("--noise_type", default="babble")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--verify", action="store_true")
+    p.set_defaults(func=_cmd_inject)
+
+    p = sub.add_parser("extract")
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--layer", type=int, default=11)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.set_defaults(func=_cmd_extract)
+
+    p = sub.add_parser("pretrain")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
+    p.add_argument("--feat-path", required=True)
+    p.add_argument("--save-dir", default="train_for_clean_models")
+    p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--folds", default=None, help="comma-separated 0-based folds")
+    p.set_defaults(func=_cmd_pretrain)
+
+    p = sub.add_parser("dad")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
+    p.add_argument("--clean", required=True)
+    p.add_argument("--noisy", required=True)
+    p.add_argument("--weights", default=None, help="pretrain .ckpt")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--name", default=None)
+    p.set_defaults(func=_cmd_dad)
+
+    p = sub.add_parser("infer")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--test-data", required=True)
+    p.add_argument("--output-dir", default="inference_results")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--split", choices=["test", "all"], default="test")
+    p.add_argument("--teacher", action="store_true")
+    p.set_defaults(func=_cmd_infer)
+
+    p = sub.add_parser("ablation")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
+    p.add_argument("--clean", required=True)
+    p.add_argument("--noisy", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--suite", choices=["standard", "granular"], default="standard")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--output", default="ablation_results.json")
+    p.set_defaults(func=_cmd_ablation)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--kind", choices=["disagreement", "bias", "dacp"], required=True)
+    p.add_argument("--results-dir", required=True)
+    p.add_argument("--out-dir", default=None)
+    p.set_defaults(func=_cmd_analyze)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,80 @@
+"""Hyperparameter sensitivity sweeps (reference
+run_hyperparameter_sensitivity_iemocap.py:16-268 +
+plot_sensitivity_results.py:22-208).
+
+Sweeps one knob over a value grid, records noisy WA/W-F1 per value, writes a
+JSON and a WA-vs-value curve PNG.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Mapping, Sequence
+
+from ..configs import DADConfig
+from ..utils import dump_json, get_logger
+from .runner import run_single_experiment
+
+logger = get_logger(__name__)
+
+DEFAULT_GRID = (0.0, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 1.0)
+
+# knobs the reference sweeps: lambda_ECDA (WEIGHT_ECDA), DACP lambda
+# (DACP_CALIBRATION_STRENGTH_LAMBDA), and the (gamma, delta) pair
+SWEEPABLE = {
+    "WEIGHT_ECDA": DEFAULT_GRID,
+    "DACP_CALIBRATION_STRENGTH_LAMBDA": DEFAULT_GRID,
+    "ECDA_COMPACTNESS_WEIGHT_GAMMA": DEFAULT_GRID,
+    "ECDA_REPULSION_WEIGHT_DELTA": DEFAULT_GRID,
+}
+
+
+def run_sensitivity_sweep(
+    base_cfg: DADConfig,
+    knob: str,
+    values: Sequence[float] | None = None,
+    fold: int = 0,
+    output_dir: str = "sensitivity_results",
+    extra_overrides: Mapping[str, Any] | None = None,
+    **stores,
+) -> List[Dict[str, Any]]:
+    values = list(values if values is not None else SWEEPABLE.get(knob, DEFAULT_GRID))
+    os.makedirs(output_dir, exist_ok=True)
+    results = []
+    for v in values:
+        overrides = dict(extra_overrides or {})
+        overrides[knob] = v
+        name = f"sens_{knob}_{v}"
+        try:
+            res = run_single_experiment(base_cfg, name, overrides, fold, **stores)
+        except Exception as e:
+            logger.error("sweep point %s=%s failed: %s", knob, v, e)
+            res = {"name": name, "error": str(e)}
+        res["knob"], res["value"] = knob, v
+        results.append(res)
+    dump_json(results, os.path.join(output_dir, f"sensitivity_{knob}.json"))
+    _plot(results, knob, output_dir)
+    return results
+
+
+def _plot(results, knob, output_dir):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return
+    pts = [(r["value"], r["noisy_wa"]) for r in results if "noisy_wa" in r]
+    if not pts:
+        return
+    xs, ys = zip(*pts)
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(xs, ys, marker="o")
+    ax.set_xlabel(knob)
+    ax.set_ylabel("noisy weighted accuracy (%)")
+    ax.set_title(f"Sensitivity: {knob}")
+    ax.grid(True, alpha=0.3)
+    fig.savefig(os.path.join(output_dir, f"sensitivity_{knob}.png"), dpi=150,
+                bbox_inches="tight")
+    plt.close(fig)

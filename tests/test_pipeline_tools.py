@@ -1,0 +1,234 @@
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.analysis import (
+    analyze_confirmation_bias,
+    analyze_dacp_evolution,
+    analyze_disagreement,
+    analyze_distribution,
+    analyze_tsne,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+    write_wav,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    EncoderConfig,
+    dad_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data import (
+    load_feature_store,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+    build_emodb_manifest,
+    parse_emodb_filename,
+    read_manifest,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.eval.inference import (
+    CrossDomainInference,
+    detect_dataset_type,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+    STANDARD_ABLATIONS,
+    run_ablation_suite,
+    run_sensitivity_sweep,
+    scrape_best_results,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.convert import (
+    fairseq_to_flax_encoder,
+    save_torch_file,
+    ssrl_to_torch_state_dict,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+    FeatureExtractor,
+    extract_manifest,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.heads import (
+    init_ssrl,
+)
+
+from helpers import make_iemocap_dir
+from torch_mirror import mirror_extract, rand_sd
+
+TINY = EncoderConfig(
+    embed_dim=16, depth=2, num_heads=2, prenet_depth=1,
+    conv_feature_layers=((8, 4, 2), (8, 3, 2)),
+    conv_pos_width=6, conv_pos_groups=2, conv_pos_depth=2,
+    dtype="float32", use_flash_attention=False,
+)
+
+LM = {"ang": 0, "hap": 1, "neu": 2, "sad": 3}
+
+
+def test_feature_extractor_order_and_parity(rng):
+    sd = rand_sd(TINY, seed=3)
+    params = fairseq_to_flax_encoder(sd, TINY)
+    ex = FeatureExtractor(TINY, params, batch_size=4, buckets=(64, 128, 256))
+    clips = [rng.normal(size=n).astype(np.float32) for n in (97, 45, 130, 61, 80)]
+    feats = ex.extract_clips(clips)
+    for clip, f in zip(clips, feats):
+        ref = mirror_extract(sd, TINY, clip, normalize=True)
+        assert f.shape == ref.shape
+        np.testing.assert_allclose(f, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_extract_manifest_writes_store(tmp_path, rng):
+    # tiny wav tree + manifest + emo sidecar
+    wav_root = tmp_path / "wavs"
+    os.makedirs(wav_root / "s")
+    rels, names = [], []
+    for i in range(5):
+        rel = f"s/clip{i}.wav"
+        write_wav(str(wav_root / rel), rng.normal(size=200 + 30 * i) * 0.1, 16000)
+        rels.append(rel)
+        names.append(f"Ses0{(i % 5) + 1}F_x_F{i:03d}")
+    mdir = tmp_path / "manifest"
+    os.makedirs(mdir)
+    with open(mdir / "train.tsv", "w") as f:
+        print(str(wav_root), file=f)
+        for rel in rels:
+            print(f"{rel}\t200", file=f)
+    with open(mdir / "train.emo", "w") as f:
+        for i, n in enumerate(names):
+            print(f"{n}\t{['ang','hap','neu','sad'][i % 4]}", file=f)
+
+    sd = rand_sd(TINY, seed=0)
+    params = fairseq_to_flax_encoder(sd, TINY)
+    out = tmp_path / "features"
+    n, frames = extract_manifest(str(mdir), str(out), TINY, params, batch_size=2)
+    assert n == 5
+    store = load_feature_store(str(out), LM)
+    assert store.validate() and store.num == 5
+    assert store.dim == 16
+
+
+def _fake_results_dir(tmp_path, rng):
+    """Builds a results dir with history + bias log + checkpoint, as the
+    trainer would leave it."""
+    rd = tmp_path / "results" / "fold_1"
+    for sub in ("reports", "models", "plots"):
+        os.makedirs(rd / sub, exist_ok=True)
+    hist = {
+        "disagreement_rate_noisy": rng.uniform(0.05, 0.3, 20).tolist(),
+        "dacp_ema_thresholds": rng.uniform(0.4, 0.7, (20, 4)).tolist(),
+        "dacp_class_quality": rng.uniform(0.3, 0.8, (20, 4)).tolist(),
+        "ecda_class_attention": rng.uniform(0.8, 1.2, (20, 4)).tolist(),
+        "total_loss": rng.uniform(0.5, 2.0, 20).tolist(),
+    }
+    json.dump(hist, open(rd / "reports" / "training_history.json", "w"))
+    log = []
+    for epoch in range(10):
+        for sid in range(5):
+            log.append({
+                "epoch": epoch, "sample_id": sid,
+                "pseudo_label": int(rng.integers(0, 4)) if sid else 1,
+                "certainty_score": float(rng.uniform(0.4, 0.95)),
+                "is_masked_in": bool(rng.uniform() > 0.3),
+            })
+    json.dump(log, open(rd / "reports" / "confirmation_bias_log.json", "w"))
+    return str(rd)
+
+
+def test_analysis_suite(tmp_path, rng):
+    rd = _fake_results_dir(tmp_path, rng)
+    d = analyze_disagreement(rd)
+    assert "mean_disagreement" in d and d["num_points"] == 20
+    b = analyze_confirmation_bias(rd)
+    assert b["num_tracked_samples"] == 5
+    e = analyze_dacp_evolution(rd)
+    assert "dacp_ema_thresholds" in e
+    assert os.path.exists(os.path.join(rd, "analysis", "disagreement_summary.json"))
+
+
+def test_distribution_analysis(tmp_path, rng):
+    d, *_ = make_iemocap_dir(tmp_path, n=30)
+    store = load_feature_store(d, LM)
+    out = analyze_distribution(store, ["ang", "hap", "neu", "sad"], str(tmp_path / "a"))
+    assert out["num_clips"] == 30
+    assert sum(out["class_counts"].values()) == 30
+    assert len(out["group_counts"]) == 5
+
+
+def test_tsne_analysis(tmp_path, rng):
+    d, *_ = make_iemocap_dir(tmp_path, n=40, dim=12)
+    store = load_feature_store(d, LM)
+    cfg = dad_preset("iemocap", input_dim=12, hidden_dim=8, batch_size=16,
+                     length_buckets=(32,))
+    _h, s1 = init_ssrl(jax.random.PRNGKey(0), 12, 8)
+    _h, s2 = init_ssrl(jax.random.PRNGKey(1), 12, 8)
+    summary = analyze_tsne(
+        cfg, store, {"pretrain": s1.student, "dad": s2.student}, str(tmp_path / "t"),
+        perplexity=5,
+    )
+    assert "pretrain" in summary and summary["pretrain"]["num_samples"] == 40
+
+
+def test_inference_from_exported_checkpoint(tmp_path, rng):
+    d, *_ = make_iemocap_dir(tmp_path / "feat", n=40, dim=12)
+    assert detect_dataset_type(d) == "iemocap"
+    _h, ssrl = init_ssrl(jax.random.PRNGKey(0), 12, 8)
+    wpath = str(tmp_path / "best.pth")
+    save_torch_file(ssrl_to_torch_state_dict(ssrl), wpath)
+    cfg = dad_preset("iemocap", input_dim=12, hidden_dim=8, batch_size=16,
+                     length_buckets=(32,))
+    inf = CrossDomainInference(wpath, d, str(tmp_path / "out"), cfg=cfg, fold=0)
+    res = inf.run_inference("all")
+    assert res["info"]["num_samples"] == 40
+    assert 0 <= res["metrics"]["weighted_accuracy"] <= 100
+    assert os.path.exists(os.path.join(inf.output_dir, "inference_results.json"))
+
+
+def test_emodb_manifest(tmp_path, rng):
+    root = tmp_path / "emodb"
+    os.makedirs(root)
+    # 03a01Fa -> F not in 4-class map (Freude is not mapped!) use coded letters
+    names = ["03a01Aa.wav", "08b02Tb.wav", "09a03Lc.wav", "10b01Na.wav", "03a02Xa.wav"]
+    for n in names:
+        write_wav(str(root / n), rng.normal(size=400) * 0.1, 16000)
+    entries = build_emodb_manifest(str(root), str(tmp_path / "m"))
+    assert len(entries) == 4  # X filtered out
+    assert entries[0].speaker == "emodb_spk_03"
+    assert parse_emodb_filename("03a01Aa.wav")[3] == "angry"
+    root_line, files = read_manifest(str(tmp_path / "m"))
+    assert len(files) == 4
+
+
+def test_ablation_and_sensitivity(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    from helpers import make_iemocap_dir as mk
+
+    cd, *_ = mk(tmp_path / "clean", n=60, dim=12, seed=0)
+    nd, *_ = mk(tmp_path / "noisy", n=60, dim=12, seed=0)
+    clean = load_feature_store(cd, LM)
+    noisy = load_feature_store(nd, LM)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="x/root1-babble-10db", length_buckets=(32,),
+    )
+    suite = {"full_method": {}, "no_dacp": {"USE_DACP": False}}
+    results = run_ablation_suite(
+        cfg, suite, fold=0, output_path=str(tmp_path / "abl.json"),
+        clean_store=clean, noisy_store=noisy,
+    )
+    assert len(results) == 2
+    assert all("noisy_wa" in r for r in results)
+    assert os.path.exists(tmp_path / "abl.md")
+    md = open(tmp_path / "abl.md").read()
+    assert "full_method" in md and "no_dacp" in md
+
+    sens = run_sensitivity_sweep(
+        cfg, "WEIGHT_ECDA", values=[0.0, 0.3], fold=0,
+        output_dir=str(tmp_path / "sens"),
+        clean_store=clean, noisy_store=noisy,
+    )
+    assert len(sens) == 2
+    assert os.path.exists(tmp_path / "sens" / "sensitivity_WEIGHT_ECDA.json")
+
+
+def test_standard_ablations_defined():
+    assert "full_method" in STANDARD_ABLATIONS
+    assert STANDARD_ABLATIONS["no_dacp"] == {"USE_DACP": False}
