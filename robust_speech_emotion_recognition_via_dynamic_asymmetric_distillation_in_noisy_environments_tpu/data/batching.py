@@ -51,6 +51,7 @@ class PaddedBatchIterator:
         shuffle: bool = False,
         seed: int = 0,
         max_frames: Optional[int] = None,
+        use_native: bool = True,
     ):
         self.store = store
         self.batch_size = int(batch_size)
@@ -59,6 +60,17 @@ class PaddedBatchIterator:
         self.seed = seed
         self.epoch = 0
         self.max_frames = max_frames
+        self._native = None
+        if use_native and store.num and store.feats.dtype == np.float32:
+            try:
+                from .native import NativeStore, native_available
+
+                if native_available():
+                    self._native = NativeStore(
+                        store.feats, store.sizes, store.offsets, store.labels
+                    )
+            except (RuntimeError, OSError):
+                self._native = None
 
     def __len__(self) -> int:
         return int(np.ceil(self.store.num / self.batch_size))
@@ -85,6 +97,16 @@ class PaddedBatchIterator:
             if self.max_frames is not None:
                 t_max = min(t_max, self.max_frames)
             T = pad_to_bucket(t_max, self.buckets)
+
+            if self._native is not None:
+                padded_idx = np.full((B,), -1, dtype=np.int64)
+                padded_idx[: len(idx)] = idx
+                feats, padding_mask, out_labels, row_valid = self._native.assemble(
+                    padded_idx, T
+                )
+                ids = padded_idx.astype(np.int32)
+                yield Batch(feats, padding_mask, out_labels, ids, row_valid)
+                continue
 
             feats = np.zeros((B, T, dim), dtype=np.float32)
             padding_mask = np.ones((B, T), dtype=bool)

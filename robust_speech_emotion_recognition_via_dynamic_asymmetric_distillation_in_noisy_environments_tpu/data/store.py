@@ -45,6 +45,8 @@ class FeatureStore:
     groups: Optional[np.ndarray] = None
     label_names: Optional[List[str]] = None  # raw string labels, pre-mapping
     utt_names: Optional[List[str]] = None
+    # backing .npy file when loaded from disk — enables the native mmap path
+    npy_path: Optional[str] = None
 
     @property
     def num(self) -> int:
@@ -59,21 +61,15 @@ class FeatureStore:
         return self.feats[o : o + int(self.sizes[i])]
 
     def subset(self, indices: Sequence[int]) -> "FeatureStore":
-        """Repacks the selected clips into a contiguous store
-        (reference data.py:230-252 create_subset)."""
+        """Zero-copy view over the selected clips: sizes/offsets are
+        re-indexed against the SAME flat array. (The reference repacks into a
+        contiguous copy, data.py:230-252 — numerically identical; a view
+        keeps the mmap-backed native batcher usable and avoids the copy.)"""
         indices = np.asarray(indices)
-        parts = [self.clip(int(i)) for i in indices]
-        feats = (
-            np.concatenate(parts, axis=0)
-            if parts
-            else np.zeros((0, self.dim), dtype=self.feats.dtype)
-        )
-        sizes = self.sizes[indices]
-        offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
         return FeatureStore(
-            feats=feats,
-            sizes=sizes,
-            offsets=offsets,
+            feats=self.feats,
+            sizes=self.sizes[indices],
+            offsets=self.offsets[indices],
             labels=None if self.labels is None else self.labels[indices],
             groups=None if self.groups is None else self.groups[indices],
             label_names=None
@@ -82,19 +78,31 @@ class FeatureStore:
             utt_names=None
             if self.utt_names is None
             else [self.utt_names[int(i)] for i in indices],
+            npy_path=self.npy_path,
         )
 
     def validate(self) -> bool:
         """Data-integrity check mirroring validate_emotion2vec_data
-        (reference DAD utils.py:92-129): sum(lengths) == feature rows."""
-        total = int(np.sum(self.sizes))
-        if total != self.feats.shape[0]:
-            logger.error(
-                "length mismatch: sum(lengths)=%d vs feature rows=%d",
-                total,
-                self.feats.shape[0],
+        (reference DAD utils.py:92-129). For a canonical on-disk store the
+        lengths must exactly tile the feature rows; for a subset view, every
+        (offset, size) span must stay in bounds."""
+        rows = self.feats.shape[0]
+        if self.num:
+            ends = self.offsets + self.sizes
+            if int(ends.max()) > rows or int(self.offsets.min()) < 0:
+                logger.error("clip span out of bounds (rows=%d)", rows)
+                return False
+            contiguous = bool(
+                self.offsets[0] == 0
+                and np.all(self.offsets[1:] == np.cumsum(self.sizes)[:-1])
             )
-            return False
+            if contiguous and int(np.sum(self.sizes)) != rows:
+                logger.error(
+                    "length mismatch: sum(lengths)=%d vs feature rows=%d",
+                    int(np.sum(self.sizes)),
+                    rows,
+                )
+                return False
         if self.labels is not None and len(self.labels) != self.num:
             logger.error("label count mismatch")
             return False
@@ -131,6 +139,12 @@ def load_feature_store(
     feats = np.load(prefix + ".npy")
     with open(prefix + ".lengths") as f:
         raw_lengths = [int(line.strip()) for line in f if line.strip()]
+    if sum(raw_lengths) != feats.shape[0]:
+        # reference validate_emotion2vec_data contract (DAD utils.py:114-122)
+        raise ValueError(
+            f"corrupt feature store {feature_dir}: sum(lengths)="
+            f"{sum(raw_lengths)} != rows={feats.shape[0]}"
+        )
 
     emo_path = prefix + ".emo"
     lbl_path = prefix + ".lbl"
@@ -191,6 +205,7 @@ def load_feature_store(
         groups=None if raw_groups is None else np.asarray(raw_groups),
         label_names=raw_labels,
         utt_names=utt_names,
+        npy_path=prefix + ".npy",
     )
     logger.info(
         "loaded %d clips (dim %d) from %s", store.num, store.dim, feature_dir
