@@ -326,16 +326,62 @@ class CrossDomainTrainer:
         return self.patience_counter >= self.cfg.patience
 
     # ------------------------------------------------------------------
-    def train(self) -> Dict:
+    # ------------------------------------------------------------------
+    # full-state checkpoint/resume (a capability the reference lacks —
+    # SURVEY.md §5 "No mid-run resume")
+    @property
+    def _last_state_path(self) -> str:
+        return os.path.join(self.results_dir, "models", "last_state.msgpack")
+
+    def save_resume_checkpoint(self, epoch: int) -> None:
+        from .checkpointing import save_train_state
+
+        save_train_state(
+            self._last_state_path,
+            self.state,
+            metadata={
+                "epoch": epoch,
+                "best_noisy_weighted_acc": self.best_noisy_weighted_acc,
+                "best_clean_weighted_acc": self.best_clean_weighted_acc,
+                "patience_counter": self.patience_counter,
+                "rng": np.asarray(self._rng).tolist(),
+                "anchors": np.asarray(self.anchors).tolist(),
+            },
+        )
+
+    def try_resume(self) -> int:
+        """Restores the full train state if a resume checkpoint exists;
+        returns the epoch to continue from (0 if fresh)."""
+        from .checkpointing import restore_train_state
+
+        if not os.path.exists(self._last_state_path):
+            return 0
+        self.state, meta = restore_train_state(self._last_state_path, self.state)
+        if meta:
+            self.best_noisy_weighted_acc = meta["best_noisy_weighted_acc"]
+            self.best_clean_weighted_acc = meta["best_clean_weighted_acc"]
+            self.patience_counter = meta["patience_counter"]
+            self._rng = jnp.asarray(np.asarray(meta["rng"], dtype=np.uint32))
+            self.anchors = jnp.asarray(np.asarray(meta["anchors"], np.float32))
+            start = int(meta["epoch"]) + 1
+        else:
+            start = 0
+        logger.info("resumed from %s at epoch %d", self._last_state_path, start)
+        return start
+
+    def train(self, resume: bool = False, checkpoint_interval: int = 25) -> Dict:
         cfg = self.cfg
         logger.info(
             "starting %s cross-domain training fold %d (%s)",
             cfg.corpus, self.fold + 1, self.noise_info["display_name"],
         )
-        for epoch in range(cfg.epochs):
+        start_epoch = self.try_resume() if resume else 0
+        for epoch in range(start_epoch, cfg.epochs):
             avg = self.train_epoch(epoch)
             for k, v in avg.items():
                 self.training_history[k].append(v)
+            if checkpoint_interval and (epoch + 1) % checkpoint_interval == 0:
+                self.save_resume_checkpoint(epoch)
 
             should_validate = (epoch + 1) % cfg.validation_interval == 0 or not self.is_warmup(epoch)
             if not should_validate:
