@@ -37,7 +37,35 @@ CORPUS_PRESETS = {
 }
 
 
-def pretrain_preset(corpus: str, **kwargs: Any) -> PretrainConfig:
+# Pretrain config variants mirroring the reference's TrainingConfig class
+# hierarchy (pretrain config.py:4-147: default / AdvancedConfig /
+# CosineConfig / DebugConfig).
+_PRETRAIN_VARIANTS: dict = {
+    "default": {},
+    "advanced": dict(
+        early_stopping_patience=30,
+        learning_rate=1e-4,
+        lr_scheduler_patience=12,
+        lr_scheduler_type="CosineAnnealingWarmRestarts",
+        cosine_t_0=15,
+        cosine_t_mult=2,
+        cosine_eta_min=5e-7,
+        batch_size=128,
+    ),
+    "cosine": dict(
+        lr_scheduler_type="CosineAnnealingWarmRestarts",
+        learning_rate=3e-4,
+        cosine_t_0=12,
+        cosine_t_mult=2,
+        cosine_eta_min=1e-7,
+        early_stopping_patience=25,
+        max_epochs=120,
+    ),
+    "debug": dict(max_epochs=10, early_stopping_patience=3),
+}
+
+
+def pretrain_preset(corpus: str, variant: str = "default", **kwargs: Any) -> PretrainConfig:
     corpus = corpus.lower()
     preset = CORPUS_PRESETS[corpus]
     base = PretrainConfig(
@@ -50,6 +78,8 @@ def pretrain_preset(corpus: str, **kwargs: Any) -> PretrainConfig:
         # uses 128 in an advanced variant; the committed driver path uses the
         # 10-fold LOSO trainer with small batches for ~291 clips).
         base = replace(base, batch_size=32)
+    if variant != "default":
+        base = replace(base, **_PRETRAIN_VARIANTS[variant])
     return replace(base, **kwargs) if kwargs else base
 
 

@@ -109,6 +109,37 @@ def read_manifest(dest: str, split: str = "train") -> Tuple[str, List[Tuple[str,
     return root, files
 
 
+def fix_manifest_paths(
+    manifest_dir: str, new_root: str, split: str = "train"
+) -> int:
+    """Repairs manifest path references after a wav tree moves/reshapes
+    (reference CASIA scripts/fix_manifest_paths.py:12-31): rewrites the root
+    line and drops entries whose files no longer resolve."""
+    root, files = read_manifest(manifest_dir, split)
+    kept = []
+    for rel, frames in files:
+        cand = os.path.join(new_root, rel)
+        if os.path.exists(cand):
+            kept.append((rel, frames))
+        else:
+            # try flat->hierarchical repair: search by basename
+            base = os.path.basename(rel)
+            hit = None
+            for dirpath, _d, fnames in os.walk(new_root):
+                if base in fnames:
+                    hit = os.path.relpath(os.path.join(dirpath, base), new_root)
+                    break
+            if hit is not None:
+                kept.append((hit.replace("\\", "/"), frames))
+            else:
+                logger.warning("dropping unresolvable manifest entry %s", rel)
+    with open(os.path.join(manifest_dir, f"{split}.tsv"), "w", encoding="utf-8") as f:
+        print(new_root, file=f)
+        for rel, frames in kept:
+            print(rel, frames, sep="\t", file=f)
+    return len(kept)
+
+
 def parse_iemocap_emo_evaluation(eval_dir: str) -> Dict[str, str]:
     """Parses IEMOCAP ``EmoEvaluation/*.txt`` into {utt_name: 4-class label},
     keeping {ang, exc->hap, hap, neu, sad} (complete_preprocessing.ps1:42-90).

@@ -300,4 +300,38 @@ def train_with_early_stopping(
     }
     dump_json(summary, os.path.join(save_dir, "test_results.json"))
     dump_json(training_history, os.path.join(save_dir, "training_history.json"))
+    plot_training_history(training_history, save_dir, cfg.corpus)
     return summary
+
+
+def plot_training_history(training_history, save_dir, dataset_name="iemocap"):
+    """Per-fold loss/accuracy curves (train_for_clean.py:475-513)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return
+    for fold_key, history in training_history.items():
+        epochs = history["epochs"]
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 5))
+        ax1.plot(epochs, history["train_loss"], marker="o", label="Train Loss")
+        ax1.plot(epochs, history["val_loss"], marker="o", label="Validation Loss")
+        ax1.set_xlabel("Epochs")
+        ax1.set_ylabel("Loss")
+        ax1.legend()
+        ax1.grid(True)
+        ax2.plot(epochs, history["train_acc"], marker="o", label="Train Accuracy")
+        ax2.plot(epochs, history["val_acc"], marker="o", label="Validation Accuracy")
+        ax2.set_xlabel("Epochs")
+        ax2.set_ylabel("Accuracy")
+        ax2.legend()
+        ax2.grid(True)
+        fig.suptitle(f"{dataset_name.upper()} Training History - {fold_key}")
+        fig.savefig(
+            os.path.join(save_dir, f"training_history_{fold_key}.png"),
+            dpi=150,
+            bbox_inches="tight",
+        )
+        plt.close(fig)

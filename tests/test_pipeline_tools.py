@@ -232,3 +232,39 @@ def test_ablation_and_sensitivity(tmp_path, monkeypatch, rng):
 def test_standard_ablations_defined():
     assert "full_method" in STANDARD_ABLATIONS
     assert STANDARD_ABLATIONS["no_dacp"] == {"USE_DACP": False}
+
+
+def test_fix_manifest_paths(tmp_path, rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+        fix_manifest_paths,
+    )
+
+    old_root = tmp_path / "old"
+    new_root = tmp_path / "new"
+    os.makedirs(new_root / "spk1")
+    # wav moved from flat layout into spk1/ subdir
+    write_wav(str(new_root / "spk1" / "a.wav"), rng.normal(size=100) * 0.1, 16000)
+    mdir = tmp_path / "m"
+    os.makedirs(mdir)
+    with open(mdir / "train.tsv", "w") as f:
+        print(str(old_root), file=f)
+        print("a.wav\t100", file=f)
+        print("gone.wav\t50", file=f)
+    kept = fix_manifest_paths(str(mdir), str(new_root))
+    assert kept == 1
+    root, files = read_manifest(str(mdir))
+    assert root == str(new_root)
+    assert files[0][0] == "spk1/a.wav"
+
+
+def test_pretrain_variants():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        pretrain_preset,
+    )
+
+    adv = pretrain_preset("iemocap", variant="advanced")
+    assert adv.batch_size == 128 and adv.lr_scheduler_type == "CosineAnnealingWarmRestarts"
+    cos = pretrain_preset("iemocap", variant="cosine")
+    assert cos.max_epochs == 120
+    dbg = pretrain_preset("emodb", variant="debug")
+    assert dbg.max_epochs == 10 and dbg.batch_size == 32
