@@ -31,7 +31,7 @@ def log(*a):
 
 CLIP_SECONDS = 4.0
 SR = 16000
-B = 32  # clips per stream per step (clean + noisy = 2B clips per step)
+B = 64  # clips per stream per step (clean + noisy = 2B clips per step)
 T = int(CLIP_SECONDS * SR)
 STEPS = 20
 
@@ -89,15 +89,17 @@ def bench_tpu():
     t0 = time.time()
     state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
                           jax.random.PRNGKey(0))
-    jax.block_until_ready(metrics["total_loss"])
+    # NB: host materialization (float) is the reliable sync on this backend;
+    # block_until_ready can return before remote execution completes.
     log(f"compile+first step: {time.time() - t0:.1f}s loss={float(metrics['total_loss']):.4f}")
 
     t0 = time.time()
     for i in range(STEPS):
         state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
                               jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(metrics["total_loss"])
+    final_loss = float(metrics["total_loss"])  # forces the whole chain
     dt = time.time() - t0
+    log(f"final loss {final_loss:.4f}")
     clips_per_sec = 2 * B * STEPS / dt
     log(f"TPU: {STEPS} steps in {dt:.2f}s -> {clips_per_sec:.1f} clips/s/chip")
     return clips_per_sec

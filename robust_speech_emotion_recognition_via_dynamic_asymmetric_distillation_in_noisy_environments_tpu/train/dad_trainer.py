@@ -104,9 +104,14 @@ class CrossDomainTrainer:
         clean_store: Optional[FeatureStore] = None,
         noisy_store: Optional[FeatureStore] = None,
         pretrain_params: Optional[dict] = None,
+        scan_chunk: int = 0,
     ):
+        """``scan_chunk > 0`` runs the epoch as lax.scan over chunks of that
+        many batches (one device dispatch per chunk instead of per batch) —
+        numerically identical to per-batch stepping; see dad/epoch_scan.py."""
         self.cfg = cfg
         self.fold = fold
+        self.scan_chunk = scan_chunk
         self.experiment_name = experiment_name
         self.noise_info = extract_noise_info(cfg.noisy_data_dir)
         self.results_dir = self._setup_results_directory()
@@ -216,6 +221,11 @@ class CrossDomainTrainer:
     def _setup_training(self):
         self.train_step = make_dad_train_step(self.head, self.tx, self.cfg)
         self.eval_step = make_eval_step(self.head)
+        self._epoch_runner = None
+        if self.scan_chunk:
+            from ..dad.epoch_scan import make_dad_epoch_runner
+
+            self._epoch_runner = make_dad_epoch_runner(self.head, self.tx, self.cfg)
         self._rng = jax.random.PRNGKey(self.cfg.random_seed + 1)
 
     # ------------------------------------------------------------------
@@ -230,15 +240,18 @@ class CrossDomainTrainer:
         )
         totals = defaultdict(float)
         n = 0
-        for clean_b, noisy_b in paired_epoch(self.clean_train, self.noisy_train, epoch):
-            self._rng, key = jax.random.split(self._rng)
-            self.state, metrics, tracking = self.train_step(
-                self.state, clean_b, noisy_b, scalars, self.anchors, key
-            )
-            for k in ("total_loss", "supervised_ce_loss", "consistency_loss", "ecda_loss"):
-                totals[k] += float(metrics[k])
-            n += 1
-            self._log_tracked(epoch, tracking)
+        if self._epoch_runner is not None:
+            n = self._run_epoch_scanned(epoch, scalars, totals)
+        else:
+            for clean_b, noisy_b in paired_epoch(self.clean_train, self.noisy_train, epoch):
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics, tracking = self.train_step(
+                    self.state, clean_b, noisy_b, scalars, self.anchors, key
+                )
+                for k in ("total_loss", "supervised_ce_loss", "consistency_loss", "ecda_loss"):
+                    totals[k] += float(metrics[k])
+                n += 1
+                self._log_tracked(epoch, tracking)
         if not self.is_warmup(epoch):
             self.state = epoch_end_dacp(self.state, cfg)
             self.training_history["dacp_ema_thresholds"].append(
@@ -253,6 +266,42 @@ class CrossDomainTrainer:
             )
             self.training_history["ecda_class_attention"].append(attn.tolist())
         return {k: v / max(n, 1) for k, v in totals.items()}
+
+    def _run_epoch_scanned(self, epoch, scalars, totals) -> int:
+        """Chunked lax.scan epoch: one dispatch per scan_chunk batches."""
+        from ..dad.epoch_scan import stack_batches
+
+        n = 0
+        buf = []
+        pairs = list(paired_epoch(self.clean_train, self.noisy_train, epoch))
+        for i, pair in enumerate(pairs):
+            buf.append(pair)
+            if len(buf) == self.scan_chunk or i == len(pairs) - 1:
+                t_pad = max(
+                    b.feats.shape[1] for pair_ in buf for b in pair_
+                )
+                clean_s = stack_batches([p[0] for p in buf], t_pad)
+                noisy_s = stack_batches([p[1] for p in buf], t_pad)
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics, tracking = self._epoch_runner(
+                    self.state, clean_s, noisy_s, scalars, self.anchors, key
+                )
+                m = len(buf)
+                for k in (
+                    "total_loss",
+                    "supervised_ce_loss",
+                    "consistency_loss",
+                    "ecda_loss",
+                ):
+                    totals[k] += float(metrics[k]) * m
+                n += m
+                for s in range(m):
+                    self._log_tracked(
+                        epoch,
+                        {key_: np.asarray(v[s]) for key_, v in tracking.items()},
+                    )
+                buf = []
+        return n
 
     def _log_tracked(self, epoch, tracking):
         if not self.tracked_sample_indices or self.is_warmup(epoch):
