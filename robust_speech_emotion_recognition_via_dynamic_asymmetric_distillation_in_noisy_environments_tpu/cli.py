@@ -75,7 +75,7 @@ def _cmd_pretrain(args):
 
 def _cmd_dad(args):
     from .configs import dad_preset
-    from .train import CrossDomainTrainer
+    from .train import CrossDomainTrainer, run_cv
 
     cfg = dad_preset(
         args.corpus,
@@ -84,8 +84,14 @@ def _cmd_dad(args):
         pretrained_weight=args.weights or "",
         epochs=args.epochs,
     )
-    trainer = CrossDomainTrainer(cfg, fold=args.fold, experiment_name=args.name)
-    trainer.train()
+    if args.fold == "all":
+        run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk)
+    else:
+        trainer = CrossDomainTrainer(
+            cfg, fold=int(args.fold), experiment_name=args.name,
+            scan_chunk=args.scan_chunk,
+        )
+        trainer.train(resume=args.resume)
     return 0
 
 
@@ -175,9 +181,12 @@ def main(argv=None) -> int:
     p.add_argument("--clean", required=True)
     p.add_argument("--noisy", required=True)
     p.add_argument("--weights", default=None, help="pretrain .ckpt")
-    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--fold", default="0", help="0-based fold index or 'all'")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--name", default=None)
+    p.add_argument("--scan-chunk", type=int, default=8,
+                   help="batches per lax.scan dispatch (0 = per-batch steps)")
+    p.add_argument("--resume", action="store_true")
     p.set_defaults(func=_cmd_dad)
 
     p = sub.add_parser("infer")

@@ -474,6 +474,15 @@ class CrossDomainTrainer:
                 os.path.join(self.results_dir, "reports", "confirmation_bias_log.json"),
             )
 
+    def final_summary(self) -> Dict:
+        return {
+            "fold": self.fold + 1,
+            "noise": self.noise_info["display_name"],
+            "best_noisy_weighted_acc": self.best_noisy_weighted_acc,
+            "best_clean_weighted_acc": self.best_clean_weighted_acc,
+            "results_dir": self.results_dir,
+        }
+
     def _evaluate_on_test_set(self):
         best_path = os.path.join(
             self.results_dir, "models", f"{self.cfg.corpus}_cross_domain_best.pth"
@@ -503,3 +512,62 @@ class CrossDomainTrainer:
             clean_test, noisy_test, self.best_noisy_weighted_acc,
         )
         return clean_test, noisy_test
+
+
+def run_cv(
+    cfg: DADConfig,
+    folds: Optional[Iterable[int]] = None,
+    experiment_name: Optional[str] = None,
+    clean_store: Optional[FeatureStore] = None,
+    noisy_store: Optional[FeatureStore] = None,
+    pretrain_params: Optional[dict] = None,
+    scan_chunk: int = 0,
+) -> Dict:
+    """Full K-fold cross-validation sweep with an aggregate summary report.
+
+    The reference's ``main()`` runs one fold at a time (train.py:765-789,
+    fold = N_FOLDS - 1, with a try/except keeping the sweep alive); this
+    driver runs all folds and writes the ``final_summary_report.json`` the
+    reference left commented out (train.py:797-800).
+    """
+    from ..data.folds import corpus_fold_split  # noqa: F401 (doc pointer)
+
+    n_folds = {"iemocap": 5, "casia": 4, "emodb": 10}[cfg.corpus]
+    folds = list(folds) if folds is not None else list(range(n_folds))
+    all_results = []
+    for fold in folds:
+        try:
+            trainer = CrossDomainTrainer(
+                cfg,
+                fold=fold,
+                experiment_name=experiment_name,
+                clean_store=clean_store,
+                noisy_store=noisy_store,
+                pretrain_params=pretrain_params,
+                scan_chunk=scan_chunk,
+            )
+            trainer.train()
+            all_results.append(trainer.final_summary())
+        except Exception as e:  # keep the sweep alive (train.py:786-789)
+            logger.error("fold %d failed: %s", fold + 1, e, exc_info=True)
+            all_results.append({"fold": fold + 1, "error": str(e)})
+    ok = [r for r in all_results if "error" not in r]
+    summary = {
+        "noise": extract_noise_info(cfg.noisy_data_dir)["display_name"],
+        "folds": all_results,
+        "mean_noisy_weighted_acc": float(
+            np.mean([r["best_noisy_weighted_acc"] for r in ok])
+        )
+        if ok
+        else None,
+        "std_noisy_weighted_acc": float(
+            np.std([r["best_noisy_weighted_acc"] for r in ok])
+        )
+        if ok
+        else None,
+    }
+    out_dir = cfg.results_base_dir
+    if experiment_name:
+        out_dir = os.path.join(out_dir, re.sub(r'[\\/*?:"<>|]', "", experiment_name))
+    dump_json(summary, os.path.join(out_dir, "final_summary_report.json"))
+    return summary

@@ -127,3 +127,24 @@ def test_dad_e2e(tmp_path, monkeypatch):
                     weights_only=False)
     assert "student_encoder.pre_net.weight" in sd
     assert "teacher_classifier.fc_layer.bias" in sd
+
+
+def test_run_cv_sweep(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        run_cv,
+    )
+
+    clean, noisy = _stores(tmp_path, n=80, dim=12)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="data/root1-babble-10db", length_buckets=(32,),
+    )
+    summary = run_cv(cfg, folds=[0, 1], clean_store=clean, noisy_store=noisy,
+                     scan_chunk=4)
+    assert len(summary["folds"]) == 2
+    assert summary["mean_noisy_weighted_acc"] is not None
+    assert os.path.exists(
+        os.path.join(cfg.results_base_dir, "final_summary_report.json")
+    )
