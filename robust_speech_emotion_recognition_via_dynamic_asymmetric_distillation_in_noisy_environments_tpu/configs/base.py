@@ -59,6 +59,9 @@ class EncoderConfig:
     normalize_input: bool = True
     # compute dtype for the transformer stack ("bfloat16" rides the MXU)
     dtype: str = "bfloat16"
+    # keep conv-stack LayerNorms in the compute dtype (bandwidth win in bf16;
+    # the f32-statistics reference behavior is used when False)
+    fast_conv_norm: bool = False
     # use the Pallas flash-attention kernel instead of the XLA reference path
     use_flash_attention: bool = True
 

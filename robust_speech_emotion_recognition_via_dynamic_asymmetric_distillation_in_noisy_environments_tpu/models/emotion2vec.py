@@ -60,7 +60,10 @@ class Emotion2vecEncoder(nn.Module):
 
         # local encoder (audio.py:66-71)
         x = ConvFeatureExtractor(
-            conv_layers=cfg.conv_feature_layers, dtype=dtype, name="local_encoder"
+            conv_layers=cfg.conv_feature_layers,
+            dtype=dtype,
+            fast_norm=cfg.fast_conv_norm,
+            name="local_encoder",
         )(wav)
 
         # project_features: LN(512) -> Dense(768) (audio.py:73-77)

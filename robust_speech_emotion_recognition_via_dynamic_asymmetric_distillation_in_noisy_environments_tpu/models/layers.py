@@ -32,14 +32,23 @@ def big_neg(dtype) -> float:
 
 
 class ConvFeatureExtractor(nn.Module):
-    """wav2vec2-style conv stack: (B, T) waveform -> (B, T', C)."""
+    """wav2vec2-style conv stack: (B, T) waveform -> (B, T', C).
+
+    ``fast_norm`` keeps the per-layer LayerNorms in the compute dtype
+    (bf16): the early conv layers produce ~GB-scale activations at 50x the
+    frame rate, so f32 normalization there is pure HBM-bandwidth waste. The
+    reference's Fp32LayerNorm behavior (f32 statistics) is kept when
+    ``fast_norm=False`` — the float32 parity tests run that way.
+    """
 
     conv_layers: Sequence[Tuple[int, int, int]]
     dtype: jnp.dtype = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
         x = wav[:, :, None].astype(self.dtype)
+        ln_dtype = self.dtype if self.fast_norm else jnp.float32
         for i, (dim, kernel, stride) in enumerate(self.conv_layers):
             x = nn.Conv(
                 features=dim,
@@ -50,8 +59,8 @@ class ConvFeatureExtractor(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
-            # fairseq Fp32LayerNorm: normalize in float32
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=f"ln_{i}")(x)
+            # fairseq Fp32LayerNorm: normalize in float32 (unless fast_norm)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dtype, name=f"ln_{i}")(x)
             x = _gelu(x).astype(self.dtype)
         return x
 
