@@ -123,15 +123,51 @@ def _cmd_ablation(args):
 
 
 def _cmd_analyze(args):
-    if args.kind == "disagreement":
-        from .analysis import analyze_disagreement as fn
-    elif args.kind == "bias":
-        from .analysis import analyze_confirmation_bias as fn
-    elif args.kind == "dacp":
-        from .analysis import analyze_dacp_evolution as fn
+    if args.kind in ("disagreement", "bias", "dacp"):
+        from .analysis import (
+            analyze_confirmation_bias,
+            analyze_dacp_evolution,
+            analyze_disagreement,
+        )
+
+        fn = {
+            "disagreement": analyze_disagreement,
+            "bias": analyze_confirmation_bias,
+            "dacp": analyze_dacp_evolution,
+        }[args.kind]
+        print(fn(args.results_dir, args.out_dir))
+    elif args.kind == "distribution":
+        from .analysis import analyze_distribution
+        from .configs import CORPUS_PRESETS
+        from .data import load_feature_store
+
+        labels = dict(CORPUS_PRESETS[args.corpus]["labels"])
+        store = load_feature_store(args.feat_dir, labels)
+        print(analyze_distribution(store, list(labels), args.out_dir or "analysis"))
+    elif args.kind == "tsne":
+        from .analysis import analyze_tsne
+        from .configs import dad_preset
+        from .data import load_feature_store
+        from .models.convert import load_torch_file, torch_state_dict_to_ssrl
+        from .models.heads import init_ssrl
+        import jax
+
+        cfg = dad_preset(args.corpus)
+        store = load_feature_store(args.feat_dir, cfg.label_map)
+        param_sets = {}
+        if args.weights_dad:
+            ssrl = torch_state_dict_to_ssrl(load_torch_file(args.weights_dad))
+            param_sets["dad"] = ssrl.student
+        if args.weights_pretrain:
+            from .models.convert import load_pretrain_head_checkpoint
+            from .models.heads import load_pretrain_into_ssrl
+
+            _h, fresh = init_ssrl(jax.random.PRNGKey(0), cfg.input_dim, cfg.hidden_dim)
+            pre = load_pretrain_head_checkpoint(args.weights_pretrain)
+            param_sets["pretrain"] = load_pretrain_into_ssrl(fresh, pre).student
+        print(analyze_tsne(cfg, store, param_sets, args.out_dir or "analysis"))
     else:
         raise SystemExit(f"unknown analysis kind {args.kind}")
-    print(fn(args.results_dir, args.out_dir))
     return 0
 
 
@@ -210,9 +246,15 @@ def main(argv=None) -> int:
     p.set_defaults(func=_cmd_ablation)
 
     p = sub.add_parser("analyze")
-    p.add_argument("--kind", choices=["disagreement", "bias", "dacp"], required=True)
-    p.add_argument("--results-dir", required=True)
+    p.add_argument("--kind",
+                   choices=["disagreement", "bias", "dacp", "distribution", "tsne"],
+                   required=True)
+    p.add_argument("--results-dir", default=None)
     p.add_argument("--out-dir", default=None)
+    p.add_argument("--feat-dir", default=None, help="for distribution/tsne")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], default="iemocap")
+    p.add_argument("--weights-pretrain", default=None)
+    p.add_argument("--weights-dad", default=None)
     p.set_defaults(func=_cmd_analyze)
 
     args = parser.parse_args(argv)

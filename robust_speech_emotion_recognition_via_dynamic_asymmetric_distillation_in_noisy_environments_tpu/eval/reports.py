@@ -130,6 +130,38 @@ def final_test_report(
     return path
 
 
+def save_per_class_bars(
+    out_dir: str,
+    results: Dict,
+    class_names: Sequence[str],
+    name: str = "per_class_metrics.png",
+) -> Optional[str]:
+    """Per-class precision/recall/F1 bars (reference inference.py:476-524)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return None
+    x = np.arange(len(class_names))
+    w = 0.25
+    fig, ax = plt.subplots(figsize=(9, 5))
+    ax.bar(x - w, results["precision_per_class"], w, label="precision")
+    ax.bar(x, results["recall_per_class"], w, label="recall")
+    ax.bar(x + w, results["f1_per_class"], w, label="f1")
+    ax.set_xticks(x, class_names)
+    ax.set_ylim(0, 1.05)
+    ax.legend()
+    ax.grid(True, axis="y", alpha=0.3)
+    ax.set_title("Per-class metrics")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, name)
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_confusion_matrices(
     results_dir: str,
     clean_results: Dict,
