@@ -268,3 +268,61 @@ def test_pretrain_variants():
     assert cos.max_epochs == 120
     dbg = pretrain_preset("emodb", variant="debug")
     assert dbg.max_epochs == 10 and dbg.batch_size == 32
+
+
+def test_iemocap_manifest_and_evaluation_parsing(tmp_path, rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+        build_iemocap_manifest,
+        parse_iemocap_emo_evaluation,
+    )
+
+    # EmoEvaluation file in the IEMOCAP format
+    ev = tmp_path / "EmoEvaluation"
+    os.makedirs(ev)
+    (ev / "Ses01F_impro01.txt").write_text(
+        "% header\n"
+        "[6.2901 - 8.2357]\tSes01F_impro01_F000\tneu\t[2.5, 2.5, 2.5]\n"
+        "[10.01 - 11.37]\tSes01F_impro01_F001\texc\t[3.5, 3.0, 3.0]\n"
+        "[14.00 - 15.00]\tSes01F_impro01_M000\tfru\t[2.0, 3.5, 3.5]\n"
+        "[16.00 - 17.00]\tSes01F_impro01_M001\tang\t[1.5, 3.5, 3.5]\n"
+    )
+    labels = parse_iemocap_emo_evaluation(str(ev))
+    assert labels == {
+        "Ses01F_impro01_F000": "neu",
+        "Ses01F_impro01_F001": "hap",  # exc folded into hap
+        "Ses01F_impro01_M001": "ang",
+    }  # fru filtered out
+
+    # wav tree Session1/sentences/wav/<folder>/<utt>.wav
+    root = tmp_path / "IEMOCAP"
+    wdir = root / "Session1" / "sentences" / "wav" / "Ses01F_impro01"
+    os.makedirs(wdir)
+    for utt in labels:
+        write_wav(str(wdir / f"{utt}.wav"), rng.normal(size=320) * 0.1, 16000)
+    entries = build_iemocap_manifest(str(root), str(tmp_path / "mani"), labels=labels)
+    assert len(entries) == 3
+    assert all(e.frames == 320 for e in entries)
+    with open(tmp_path / "mani" / "train.emo") as f:
+        emo_lines = f.read().strip().split("\n")
+    assert any("Ses01F_impro01_F001\thap" in ln for ln in emo_lines)
+
+
+def test_casia_manifest(tmp_path, rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+        build_casia_manifest,
+    )
+
+    root = tmp_path / "CASIA"
+    # two alias spellings of the same speaker set; 'normal' maps to neutral
+    for spk, emo in [("liuchanhg", "angry"), ("Chang.Liu", "normal"),
+                     ("wangzhe", "happy"), ("ZhaoZuoxiang", "sad"),
+                     ("ignored_spk", "angry")]:
+        d = root / spk / emo
+        os.makedirs(d, exist_ok=True)
+        write_wav(str(d / "201.wav"), rng.normal(size=160) * 0.1, 16000)
+    entries = build_casia_manifest(str(root), str(tmp_path / "m"))
+    assert len(entries) == 4  # unknown speaker dropped
+    by_spk = {e.speaker for e in entries}
+    assert by_spk == {"casia_spk_1", "casia_spk_2", "casia_spk_4"}
+    labels = sorted(e.label for e in entries)
+    assert labels == ["angry", "happy", "neutral", "sad"]
