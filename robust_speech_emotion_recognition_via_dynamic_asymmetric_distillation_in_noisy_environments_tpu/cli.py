@@ -122,6 +122,26 @@ def _cmd_ablation(args):
     return 0
 
 
+def _cmd_preprocess(args):
+    from .exp.preprocess import run_noise_grid
+
+    snrs = [float(x) for x in args.snrs.split(",")]
+    types = args.noise_types.split(",") if args.noise_types else None
+    run_noise_grid(
+        manifest_dir=args.manifest_dir,
+        clean_root=args.clean_root,
+        output_base=args.output_base,
+        snrs=snrs,
+        noise_types=types,
+        noise_root=args.noise_root,
+        root2=args.root2,
+        checkpoint=args.checkpoint,
+        features_base=args.features_base,
+        verify=not args.no_verify,
+    )
+    return 0
+
+
 def _cmd_analyze(args):
     if args.kind in ("disagreement", "bias", "dacp"):
         from .analysis import (
@@ -244,6 +264,20 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--output", default="ablation_results.json")
     p.set_defaults(func=_cmd_ablation)
+
+    p = sub.add_parser("preprocess", help="noise-grid injection (+extraction)")
+    p.add_argument("--manifest-dir", required=True)
+    p.add_argument("--clean-root", required=True)
+    p.add_argument("--output-base", required=True)
+    p.add_argument("--snrs", default="0,10,15,20")
+    p.add_argument("--noise-types", default=None,
+                   help="comma list (babble,f16,...); omit for white noise")
+    p.add_argument("--noise-root", default=None, help="NOISEX 5types dir")
+    p.add_argument("--root2", action="store_true", help="random type per clip")
+    p.add_argument("--checkpoint", default=None, help="extract features too")
+    p.add_argument("--features-base", default=None)
+    p.add_argument("--no-verify", action="store_true")
+    p.set_defaults(func=_cmd_preprocess)
 
     p = sub.add_parser("analyze")
     p.add_argument("--kind",

@@ -326,3 +326,29 @@ def test_casia_manifest(tmp_path, rng):
     assert by_spk == {"casia_spk_1", "casia_spk_2", "casia_spk_4"}
     labels = sorted(e.label for e in entries)
     assert labels == ["angry", "happy", "neutral", "sad"]
+
+
+def test_noise_grid_preprocess(tmp_path, rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_noise_grid,
+    )
+
+    clean_root = tmp_path / "wavs"
+    os.makedirs(clean_root / "s")
+    rels = ["s/a.wav", "s/b.wav"]
+    for i, rel in enumerate(rels):
+        t = np.arange(4000) / 16000
+        write_wav(str(clean_root / rel), 0.3 * np.sin(2 * np.pi * (300 + i * 50) * t), 16000)
+    mdir = tmp_path / "m"
+    os.makedirs(mdir)
+    with open(mdir / "train.tsv", "w") as f:
+        print(str(clean_root), file=f)
+        for rel in rels:
+            print(f"{rel}\t4000", file=f)
+    out = run_noise_grid(
+        str(mdir), str(clean_root), str(tmp_path / "noisy"), snrs=[10, 20],
+    )
+    assert [r["name"] for r in out] == ["root1-white-10db", "root1-white-20db"]
+    for r in out:
+        for rel in rels:
+            assert os.path.exists(os.path.join(r["wav_dir"], rel))
