@@ -56,10 +56,9 @@ def bench_tpu():
         FusedBatch,
     )
 
-    on_tpu = jax.devices()[0].platform == "tpu"
     log(f"backend: {jax.default_backend()} devices={len(jax.devices())}")
 
-    enc_cfg = EncoderConfig(dtype="bfloat16", use_flash_attention=on_tpu)
+    enc_cfg = EncoderConfig(dtype="bfloat16")
     dad_cfg = dad_preset(
         "iemocap", batch_size=B, warmup_epochs=1, ecda_start_epoch=1, epochs=500
     )

@@ -62,8 +62,12 @@ class EncoderConfig:
     # keep conv-stack LayerNorms in the compute dtype (bandwidth win in bf16;
     # the f32-statistics reference behavior is used when False)
     fast_conv_norm: bool = False
-    # use the Pallas flash-attention kernel instead of the XLA reference path
-    use_flash_attention: bool = True
+    # route attention through the Pallas kernel (ops/attention.py). Off by
+    # default: at SER sequence lengths (~200-2k frames) XLA's fused attention
+    # outperforms the hand kernel (measured 33ms vs 46ms for the 12-block
+    # stack at B=64, N=256 on v5e) — the kernel remains available for the
+    # long-sequence regime where K/V streaming wins.
+    use_flash_attention: bool = False
 
     @property
     def head_dim(self) -> int:
