@@ -51,11 +51,12 @@ def _cmd_inject(args):
 def _cmd_extract(args):
     from .models.extract import main as extract_main
 
-    return extract_main(
-        ["--data", args.data, "--split", args.split, "--checkpoint",
-         args.checkpoint, "--save-dir", args.save_dir, "--layer", str(args.layer),
-         "--batch-size", str(args.batch_size)]
-    )
+    argv = ["--data", args.data, "--split", args.split, "--checkpoint",
+            args.checkpoint, "--save-dir", args.save_dir, "--layer",
+            str(args.layer), "--batch-size", str(args.batch_size)]
+    if args.encoder_json:
+        argv += ["--encoder-json", args.encoder_json]
+    return extract_main(argv)
 
 
 def _cmd_pretrain(args):
@@ -222,6 +223,7 @@ def main(argv=None) -> int:
     p.add_argument("--save-dir", required=True)
     p.add_argument("--layer", type=int, default=11)
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--encoder-json", default=None)
     p.set_defaults(func=_cmd_extract)
 
     p = sub.add_parser("pretrain")

@@ -146,11 +146,24 @@ def main(argv=None):
                         "returns the final (12th) block output like the "
                         "reference extraction config")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON dict of EncoderConfig field overrides")
     args = p.parse_args(argv)
 
-    cfg = EncoderConfig()
+    if args.encoder_json:
+        import json
+
+        overrides = json.loads(args.encoder_json)
+        if "conv_feature_layers" in overrides:
+            overrides["conv_feature_layers"] = tuple(
+                tuple(x) for x in overrides["conv_feature_layers"]
+            )
+        cfg = EncoderConfig(**overrides)
+    else:
+        cfg = EncoderConfig()
     params = load_emotion2vec_checkpoint(args.checkpoint, cfg)
     extract_manifest(args.data, args.save_dir, cfg, params, args.split, args.batch_size)
+    return 0
 
 
 if __name__ == "__main__":

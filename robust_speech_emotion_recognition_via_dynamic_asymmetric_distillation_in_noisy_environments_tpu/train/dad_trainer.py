@@ -158,6 +158,12 @@ class CrossDomainTrainer:
         if noisy_store is None:
             noisy_store = load_feature_store(cfg.noisy_data_dir, cfg.label_map)
         assert clean_store.validate() and noisy_store.validate()
+        if clean_store.dim != cfg.input_dim:
+            from dataclasses import replace
+
+            logger.info("adjusting input_dim %d -> %d (from feature store)",
+                        cfg.input_dim, clean_store.dim)
+            self.cfg = cfg = replace(cfg, input_dim=clean_store.dim)
         self.clean_store, self.noisy_store = clean_store, noisy_store
 
         ctr, cva, cte = corpus_fold_split(cfg.corpus, self.fold, clean_store.groups)

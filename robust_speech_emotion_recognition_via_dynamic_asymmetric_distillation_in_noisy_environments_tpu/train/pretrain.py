@@ -240,6 +240,12 @@ def train_with_early_stopping(
     if store is None:
         store = load_feature_store(cfg.feat_path, cfg.label_map)
     assert store.validate()
+    if store.dim != cfg.input_dim:
+        from dataclasses import replace
+
+        logger.info("adjusting input_dim %d -> %d (from feature store)",
+                    cfg.input_dim, store.dim)
+        cfg = replace(cfg, input_dim=store.dim)
 
     folds = tuple(folds) if folds is not None else tuple(range(cfg.n_folds))
     save_dir = cfg.save_dir

@@ -1,0 +1,131 @@
+"""End-to-end CLI integration: manifest -> inject -> extract -> pretrain ->
+dad -> infer, all through cli.main() on a tiny synthetic EMODB corpus with a
+tiny encoder — the whole user-facing pipeline in one test."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+    write_wav,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
+    main as cli,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    EncoderConfig,
+)
+
+from torch_mirror import rand_sd
+
+TINY_JSON = json.dumps(
+    {
+        "embed_dim": 16,
+        "depth": 2,
+        "num_heads": 2,
+        "prenet_depth": 1,
+        "conv_feature_layers": [[8, 4, 2], [8, 3, 2]],
+        "conv_pos_width": 6,
+        "conv_pos_groups": 2,
+        "conv_pos_depth": 2,
+        "dtype": "float32",
+        "use_flash_attention": False,
+    }
+)
+
+
+def test_full_cli_pipeline(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+
+    # 1. synthetic EMODB corpus: 10 speakers x 4 clips, class-coded tones
+    os.makedirs("corpus")
+    codes = ["A", "T", "L", "N"]
+    for s in ["03", "08", "09", "10", "11", "12", "13", "14", "15", "16"]:
+        for i in range(4):
+            t = np.arange(800 + 100 * (i % 2)) / 16000
+            f = 400 + 900 * codes.index(codes[i % 4])
+            wav = 0.3 * np.sin(2 * np.pi * f * t) + rng.normal(0, 0.01, len(t))
+            write_wav(f"corpus/{s}a0{i}{codes[i % 4]}a.wav", wav, 16000)
+
+    assert cli(["manifest", "--corpus", "emodb", "--root", "corpus",
+                "--dest", "manifests"]) == 0
+    assert os.path.exists("manifests/train.tsv")
+
+    # 2. noise injection + verification
+    assert cli(["inject", "--input_root", "corpus", "--output_root",
+                "root1-white-10db", "--snr_db", "10",
+                "--manifest_path", "manifests/train.tsv", "--verify"]) == 0
+
+    # 3. extraction (tiny encoder from a synthetic fairseq checkpoint)
+    tiny = EncoderConfig(
+        embed_dim=16, depth=2, num_heads=2, prenet_depth=1,
+        conv_feature_layers=((8, 4, 2), (8, 3, 2)),
+        conv_pos_width=6, conv_pos_groups=2, conv_pos_depth=2,
+        dtype="float32", use_flash_attention=False,
+    )
+    torch.save({"model": rand_sd(tiny, seed=0)}, "e2v.pt")
+    assert cli(["extract", "--data", "manifests", "--checkpoint", "e2v.pt",
+                "--save-dir", "features", "--batch-size", "8",
+                "--encoder-json", TINY_JSON]) == 0
+    # noisy manifest = same entries, noisy root
+    os.makedirs("manifests_noisy")
+    lines = open("manifests/train.tsv").read().split("\n")
+    with open("manifests_noisy/train.tsv", "w") as f:
+        print("root1-white-10db", file=f)
+        f.write("\n".join(lines[1:]))
+    for ext in (".lbl", ".spk"):
+        open("manifests_noisy/train" + ext, "w").write(
+            open("manifests/train" + ext).read()
+        )
+    assert cli(["extract", "--data", "manifests_noisy", "--checkpoint", "e2v.pt",
+                "--save-dir", "features_noisy", "--batch-size", "8",
+                "--encoder-json", TINY_JSON]) == 0
+
+    # 4. pretrain (fold 0, few epochs)
+    assert cli(["pretrain", "--corpus", "emodb", "--feat-path", "features",
+                "--save-dir", "pm", "--max-epochs", "3", "--folds", "0"]) == 0
+    assert os.path.exists("pm/best_model_fold_1.ckpt")
+
+    # 5. DAD stage — patch the preset dims to the tiny encoder via argv epochs
+    #    (input_dim must match the tiny features: 16)
+    import robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs.presets as presets
+
+    orig = presets.dad_preset
+
+    def tiny_dad(corpus, overrides=None, **kw):
+        # hidden_dim must stay 256 to match the pretrain checkpoint layout
+        kw.setdefault("batch_size", 16)
+        kw.setdefault("warmup_epochs", 1)
+        kw.setdefault("ecda_start_epoch", 1)
+        kw.setdefault("validation_interval", 1)
+        kw.setdefault("length_buckets", (64,))
+        return orig(corpus, overrides, **kw)
+
+    # the CLI resolves dad_preset from .configs at call time
+    monkeypatch.setattr(presets, "dad_preset", tiny_dad)
+    import robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs as cfgs
+
+    monkeypatch.setattr(cfgs, "dad_preset", tiny_dad)
+
+    assert cli(["dad", "--corpus", "emodb", "--clean", "features",
+                "--noisy", "features_noisy",
+                "--weights", "pm/best_model_fold_1.ckpt",
+                "--fold", "0", "--epochs", "4", "--scan-chunk", "2"]) == 0
+    results = []
+    for root, _d, files in os.walk("emodb_cross_domain_results"):
+        if "emodb_cross_domain_best.pth" in files:
+            results.append(os.path.join(root, "emodb_cross_domain_best.pth"))
+    assert results, "no DAD checkpoint produced"
+
+    # 6. inference on the exported checkpoint
+    monkeypatch.setattr(
+        "robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.eval.inference.dad_preset",
+        tiny_dad,
+    )
+    assert cli(["infer", "--weights", results[0], "--test-data",
+                "features_noisy", "--split", "all"]) == 0
+    out = [f for f in os.listdir("inference_results")]
+    assert out
