@@ -68,9 +68,13 @@ def _encoder_leaf_spec(path: str, shape) -> P:
 
 
 def encoder_param_sharding(mesh: Mesh, params):
-    """NamedSharding tree for the encoder param pytree under ``mesh``."""
+    """NamedSharding tree for the encoder param pytree under ``mesh``.
+    On a dp-only mesh (no 'tp' axis) everything is replicated."""
+    has_tp = "tp" in mesh.axis_names
 
     def one(path, leaf):
+        if not has_tp:
+            return NamedSharding(mesh, P())
         pathstr = "/".join(str(getattr(k, "key", k)) for k in path)
         return NamedSharding(mesh, _encoder_leaf_spec(pathstr, leaf.shape))
 
