@@ -38,6 +38,10 @@ class FusedConfig:
     dad: DADConfig = field(default_factory=DADConfig)
     # white-noise SNR injected on-device into the "noisy" stream (optional)
     inject_snr_db: Optional[float] = None
+    # multi-SNR branch: sample one of these SNRs per clip per step (takes
+    # precedence over inject_snr_db) — the on-device analogue of the
+    # reference's multi-SNR noisy trees
+    inject_snr_choices: Optional[Tuple[float, ...]] = None
 
 
 class FusedBatch(NamedTuple):
@@ -85,7 +89,18 @@ def make_fused_extract_train_step(
         k_inj, k_dc, k_w, k_s, k_ds = jax.random.split(key, 5)
 
         noisy_wav = noisy.wav
-        if cfg.inject_snr_db is not None:
+        if cfg.inject_snr_choices:
+            from ..audio.noise import batch_add_white_noise
+
+            k_pick, k_mix = jax.random.split(k_inj)
+            snrs = jnp.asarray(cfg.inject_snr_choices, jnp.float32)
+            per_clip = snrs[
+                jax.random.randint(k_pick, (noisy_wav.shape[0],), 0, len(snrs))
+            ]
+            noisy_wav = batch_add_white_noise(
+                noisy_wav, ~noisy.wav_mask, per_clip, k_mix
+            )
+        elif cfg.inject_snr_db is not None:
             from ..audio.noise import batch_add_white_noise
 
             noisy_wav = batch_add_white_noise(

@@ -139,3 +139,16 @@ def test_fused_matches_unsharded(rng):
     np.testing.assert_allclose(
         float(m1["total_loss"]), float(m2["total_loss"]), rtol=2e-4
     )
+
+
+def test_fused_multi_snr_branch(rng):
+    cfg = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_choices=(0.0, 10.0, 20.0))
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
+    clean, noisy = _fused_batch(rng), _fused_batch(rng, labeled=False)
+    scalars = StepScalars.for_epoch(CFG, 4)
+    state2, metrics = step(enc_params, state, clean, noisy, scalars,
+                           jnp.zeros(4), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
