@@ -1,0 +1,155 @@
+"""Pallas fused conv+LayerNorm+GELU kernel for the wav2vec2-style front end.
+
+XLA's native conv runs the 7-layer extractor at ~25% MXU (PERFORMANCE.md);
+patch-materializing reformulations are worse because they read the input k
+times. This kernel reads each input tile ONCE into VMEM and computes
+
+    out[t] = GELU(LN( sum_j  x[t*s + j] @ W[j] ))
+
+as k accumulated MXU matmuls over the VMEM-resident tile, writing the
+normalized activation — one HBM round trip per layer instead of three.
+
+Mosaic has no strided vector slices, so the stride-s decimation is done by a
+free host-side relayout: x (B, L, C) -> (B, G, s*C) groups of s rows. Inside
+the kernel, tap j is then the CONTIGUOUS slice groups[j//s : j//s + tile,
+(j%s)*C : (j%s+1)*C]. Each grid cell DMAs its tile plus a halo of
+(k-1)//s group rows.
+
+Pallas TPU also lacks erf/erfc lowering, so the kernel carries a polynomial
+erf (Abramowitz-Stegun 7.1.26, |err| <= 1.5e-7 — far below bf16 ulp).
+
+Constraints: VALID padding, any k/s with k >= s; C_out should be a multiple
+of 128 for clean tiling (the emotion2vec spec is 512).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf(x):
+    """Exact-formulation GELU via the polynomial erf (matches
+    jax.nn.gelu(approximate=False) to ~1e-6)."""
+    return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
+            tile, halo_alloc, c_in):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    start = ti * tile
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start, tile + halo_alloc), :], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+
+    x = x_vmem[:]  # (tile + halo_alloc, s * c_in)
+    acc = None
+    for j in range(k):
+        g0 = j // s
+        c0 = (j % s) * c_in
+        xj = x[g0 : g0 + tile, c0 : c0 + c_in]
+        part = jax.lax.dot_general(
+            xj, w_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+
+    # fused LayerNorm (f32 statistics) + GELU
+    mean = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.mean((acc - mean) ** 2, axis=-1, keepdims=True)
+    normed = (acc - mean) * jax.lax.rsqrt(var + 1e-5)
+    normed = normed * scale_ref[0][None, :] + bias_ref[0][None, :]
+    o_ref[0] = _gelu_erf(normed).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "s", "tile", "interpret"))
+def fused_conv_ln_gelu(
+    x: jax.Array,  # (B, L, C)
+    w: jax.Array,  # (k, C, Cout) — conv taps as k matmul weights
+    scale: jax.Array,  # (Cout,)
+    bias: jax.Array,  # (Cout,)
+    k: int,
+    s: int,
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """VALID conv (stride s) + LayerNorm + GELU in one kernel."""
+    B, L, C = x.shape
+    Cout = w.shape[-1]
+    t_out = (L - k) // s + 1
+    n_tiles = -(-t_out // tile)  # ceil
+    halo = (k - 1) // s
+    # Mosaic wants sublane-aligned (8-row) VMEM shapes; round the halo up
+    halo_alloc = 0 if halo == 0 else -(-halo // 8) * 8
+
+    # group rows by stride: (B, G, s*C); pad L so every tile+halo read is
+    # in bounds
+    g_needed = n_tiles * tile + halo_alloc
+    l_needed = g_needed * s
+    if l_needed > L:
+        x = jnp.pad(x, ((0, 0), (0, l_needed - L), (0, 0)))
+    else:
+        x = x[:, :l_needed]
+    grouped = x.reshape(B, g_needed, s * C)
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, Cout), x.dtype),
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # grouped x stays in HBM
+            pl.BlockSpec((k, C, Cout), lambda b, t: (0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda b, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tile + halo_alloc, s * C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(grouped, w, scale[None, :], bias[None, :])
+    return out[:, :t_out]
+
+
+def pallas_conv_stack(
+    x: jax.Array,  # (B, T', C) output of the first conv layer's conv+LN+GELU
+    params: dict,  # ConvFeatureExtractor param dict (conv_i / ln_i)
+    conv_layers: Tuple[Tuple[int, int, int], ...],
+    tile: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Runs layers 1..N-1 of the extractor with the fused kernel."""
+    for i, (dim, k, s) in enumerate(conv_layers):
+        if i == 0:
+            continue  # layer 0 handled by the caller (C_in=1)
+        w = params[f"conv_{i}"]["kernel"].astype(x.dtype)
+        scale = params[f"ln_{i}"]["scale"].astype(jnp.float32)
+        bias = params[f"ln_{i}"]["bias"].astype(jnp.float32)
+        x = fused_conv_ln_gelu(x, w, scale, bias, k, s, tile=tile, interpret=interpret)
+    return x
