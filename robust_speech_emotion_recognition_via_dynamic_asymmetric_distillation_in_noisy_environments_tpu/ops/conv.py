@@ -50,19 +50,7 @@ def _gelu_erf(x):
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
-            tile, halo_alloc, c_in):
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
-    start = ti * tile
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(start, tile + halo_alloc), :], x_vmem, sem
-    )
-    copy.start()
-    copy.wait()
-
-    x = x_vmem[:]  # (tile + halo_alloc, s * c_in)
+def _compute_tile(x, w_ref, scale_ref, bias_ref, o_ref, *, k, s, tile, c_in):
     acc = None
     for j in range(k):
         g0 = j // s
@@ -82,7 +70,66 @@ def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
     o_ref[0] = _gelu_erf(normed).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "s", "tile", "interpret"))
+def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
+            tile, halo_alloc, c_in):
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    start = ti * tile
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(start, tile + halo_alloc), :], x_vmem, sem
+    )
+    copy.start()
+    copy.wait()
+    _compute_tile(x_vmem[:], w_ref, scale_ref, bias_ref, o_ref,
+                  k=k, s=s, tile=tile, c_in=c_in)
+
+
+def _kernel_db(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
+               s, tile, halo_alloc, c_in):
+    """Double-buffered variant: grid cells run sequentially per core, so the
+    2-slot scratch persists across iterations — each cell kicks off the NEXT
+    cell's HBM->VMEM DMA before computing on the current slot (the guide's
+    double-buffering pattern)."""
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    rows = tile + halo_alloc
+    # slot parity follows the GLOBAL linear cell index so it alternates
+    # correctly across the b-boundary wrap
+    linear = b * n_t + ti
+    slot = jax.lax.rem(linear, 2)
+    nxt_slot = jax.lax.rem(linear + 1, 2)
+
+    def dma_for(bb, tt, sl):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tt * tile, rows), :],
+            x_vmem.at[sl],
+            sems.at[sl],
+        )
+
+    @pl.when(linear == 0)
+    def _():
+        dma_for(b, ti, slot).start()
+
+    # prefetch the next grid cell's tile (wrap ti across the batch dim)
+    last_t = ti == n_t - 1
+    nb = jnp.where(last_t, b + 1, b)
+    nt = jnp.where(last_t, 0, ti + 1)
+
+    @pl.when(nb < n_b)
+    def _():
+        dma_for(nb, nt, nxt_slot).start()
+
+    dma_for(b, ti, slot).wait()
+    _compute_tile(x_vmem[slot], w_ref, scale_ref, bias_ref, o_ref,
+                  k=k, s=s, tile=tile, c_in=c_in)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "s", "tile", "interpret", "double_buffer")
+)
 def fused_conv_ln_gelu(
     x: jax.Array,  # (B, L, C)
     w: jax.Array,  # (k, C, Cout) — conv taps as k matmul weights
@@ -92,6 +139,7 @@ def fused_conv_ln_gelu(
     s: int,
     tile: int = 512,
     interpret: Optional[bool] = None,
+    double_buffer: bool = True,
 ) -> jax.Array:
     """VALID conv (stride s) + LayerNorm + GELU in one kernel."""
     B, L, C = x.shape
@@ -115,10 +163,25 @@ def fused_conv_ln_gelu(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    out = pl.pallas_call(
-        functools.partial(
+    if double_buffer:
+        kernel = functools.partial(
+            _kernel_db, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
+        )
+        scratch = [
+            pltpu.VMEM((2, tile + halo_alloc, s * C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(
             _kernel, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
-        ),
+        )
+        scratch = [
+            pltpu.VMEM((tile + halo_alloc, s * C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+
+    out = pl.pallas_call(
+        kernel,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, Cout), x.dtype),
         grid=(B, n_tiles),
         in_specs=[
@@ -128,10 +191,7 @@ def fused_conv_ln_gelu(
             pl.BlockSpec((1, Cout), lambda b, t: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((tile + halo_alloc, s * C), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(grouped, w, scale[None, :], bias[None, :])
     return out[:, :t_out]

@@ -54,3 +54,15 @@ def test_fused_conv_tile_sizes(rng):
     ]
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-6)
+
+
+def test_fused_conv_double_buffer_matches_single(rng):
+    x = jnp.asarray(rng.normal(size=(3, 97, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 8, 8)) * 0.3, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=8) * 0.1 + 1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=8) * 0.1, jnp.float32)
+    a = np.asarray(fused_conv_ln_gelu(x, w, scale, bias, 3, 2, tile=16,
+                                      interpret=True, double_buffer=False))
+    b = np.asarray(fused_conv_ln_gelu(x, w, scale, bias, 3, 2, tile=16,
+                                      interpret=True, double_buffer=True))
+    np.testing.assert_allclose(a, b, atol=1e-6)
