@@ -20,12 +20,22 @@ logger = get_logger(__name__)
 DEFAULT_GRID = (0.0, 0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 1.0)
 
 # knobs the reference sweeps: lambda_ECDA (WEIGHT_ECDA), DACP lambda
-# (DACP_CALIBRATION_STRENGTH_LAMBDA), and the (gamma, delta) pair
+# (DACP_CALIBRATION_STRENGTH_LAMBDA), and the (gamma, delta) pair — the
+# synthetic knob ECDA_GAMMA_DELTA sets both jointly like the reference's
+# paired sweep (run_hyperparameter_sensitivity_iemocap.py)
 SWEEPABLE = {
     "WEIGHT_ECDA": DEFAULT_GRID,
     "DACP_CALIBRATION_STRENGTH_LAMBDA": DEFAULT_GRID,
     "ECDA_COMPACTNESS_WEIGHT_GAMMA": DEFAULT_GRID,
     "ECDA_REPULSION_WEIGHT_DELTA": DEFAULT_GRID,
+    "ECDA_GAMMA_DELTA": DEFAULT_GRID,
+}
+
+_PAIRED_KNOBS = {
+    "ECDA_GAMMA_DELTA": (
+        "ECDA_COMPACTNESS_WEIGHT_GAMMA",
+        "ECDA_REPULSION_WEIGHT_DELTA",
+    ),
 }
 
 
@@ -43,7 +53,11 @@ def run_sensitivity_sweep(
     results = []
     for v in values:
         overrides = dict(extra_overrides or {})
-        overrides[knob] = v
+        if knob in _PAIRED_KNOBS:
+            for sub in _PAIRED_KNOBS[knob]:
+                overrides[sub] = v
+        else:
+            overrides[knob] = v
         name = f"sens_{knob}_{v}"
         try:
             res = run_single_experiment(base_cfg, name, overrides, fold, **stores)

@@ -352,3 +352,24 @@ def test_noise_grid_preprocess(tmp_path, rng):
     for r in out:
         for rel in rels:
             assert os.path.exists(os.path.join(r["wav_dir"], rel))
+
+
+def test_paired_gamma_delta_sweep(tmp_path, monkeypatch, rng):
+    monkeypatch.chdir(tmp_path)
+    from helpers import make_iemocap_dir as mk
+
+    cd, *_ = mk(tmp_path / "c2", n=40, dim=12, seed=0)
+    nd, *_ = mk(tmp_path / "n2", n=40, dim=12, seed=0)
+    clean = load_feature_store(cd, LM)
+    noisy = load_feature_store(nd, LM)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="x/root1-babble-10db", length_buckets=(32,),
+    )
+    res = run_sensitivity_sweep(
+        cfg, "ECDA_GAMMA_DELTA", values=[0.1], fold=0,
+        output_dir=str(tmp_path / "s2"), clean_store=clean, noisy_store=noisy,
+    )
+    assert res[0]["overrides"]["ECDA_COMPACTNESS_WEIGHT_GAMMA"] == 0.1
+    assert res[0]["overrides"]["ECDA_REPULSION_WEIGHT_DELTA"] == 0.1
