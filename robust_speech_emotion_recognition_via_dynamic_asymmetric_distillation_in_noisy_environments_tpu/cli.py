@@ -65,6 +65,7 @@ def _cmd_pretrain(args):
 
     cfg = pretrain_preset(
         args.corpus,
+        variant=args.variant,
         feat_path=args.feat_path,
         save_dir=args.save_dir,
         max_epochs=args.max_epochs,
@@ -232,6 +233,9 @@ def main(argv=None) -> int:
     p.add_argument("--save-dir", default="train_for_clean_models")
     p.add_argument("--max-epochs", type=int, default=100)
     p.add_argument("--folds", default=None, help="comma-separated 0-based folds")
+    p.add_argument("--variant", choices=["default", "advanced", "cosine", "debug"],
+                   default="default",
+                   help="reference TrainingConfig variants (config.py:4-147)")
     p.set_defaults(func=_cmd_pretrain)
 
     p = sub.add_parser("dad")
