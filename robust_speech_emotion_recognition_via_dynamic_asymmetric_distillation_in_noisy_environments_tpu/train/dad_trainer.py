@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import DADConfig
-from ..data.batching import Batch, PaddedBatchIterator, paired_epoch
+from ..data.batching import PaddedBatchIterator, paired_epoch
 from ..data.folds import corpus_fold_split
 from ..data.store import FeatureStore, load_feature_store
 from ..dad import (
