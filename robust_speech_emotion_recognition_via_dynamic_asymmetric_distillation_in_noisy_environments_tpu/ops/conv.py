@@ -127,8 +127,62 @@ def _kernel_db(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
                   k=k, s=s, tile=tile, c_in=c_in)
 
 
+def _kernel_mb(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
+               s, tile, halo_alloc, c_in, bb):
+    """Multi-batch double-buffered variant: each grid cell processes ``bb``
+    batch rows at once, folding them into the matmul M dimension — 8x fewer
+    grid cells and (bb*tile)-row MXU calls."""
+    gb = pl.program_id(0)
+    ti = pl.program_id(1)
+    n_gb = pl.num_programs(0)
+    n_t = pl.num_programs(1)
+    rows = tile + halo_alloc
+    linear = gb * n_t + ti
+    slot = jax.lax.rem(linear, 2)
+    nxt_slot = jax.lax.rem(linear + 1, 2)
+
+    def dma_for(gg, tt, sl):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(gg * bb, bb), pl.ds(tt * tile, rows), :],
+            x_vmem.at[sl],
+            sems.at[sl],
+        )
+
+    @pl.when(linear == 0)
+    def _():
+        dma_for(gb, ti, slot).start()
+
+    last_t = ti == n_t - 1
+    ng = jnp.where(last_t, gb + 1, gb)
+    nt = jnp.where(last_t, 0, ti + 1)
+
+    @pl.when(ng < n_gb)
+    def _():
+        dma_for(ng, nt, nxt_slot).start()
+
+    dma_for(gb, ti, slot).wait()
+    x = x_vmem[slot]  # (bb, rows, s*c_in)
+    acc = None
+    for j in range(k):
+        g0 = j // s
+        c0 = (j % s) * c_in
+        xj = x[:, g0 : g0 + tile, c0 : c0 + c_in].reshape(bb * tile, c_in)
+        part = jax.lax.dot_general(
+            xj, w_ref[j], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+
+    mean = jnp.mean(acc, axis=-1, keepdims=True)
+    var = jnp.mean((acc - mean) ** 2, axis=-1, keepdims=True)
+    normed = (acc - mean) * jax.lax.rsqrt(var + 1e-5)
+    normed = normed * scale_ref[0][None, :] + bias_ref[0][None, :]
+    o_ref[...] = _gelu_erf(normed).reshape(bb, tile, -1).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "s", "tile", "interpret", "double_buffer")
+    jax.jit,
+    static_argnames=("k", "s", "tile", "interpret", "double_buffer", "batch_block"),
 )
 def fused_conv_ln_gelu(
     x: jax.Array,  # (B, L, C)
@@ -140,8 +194,13 @@ def fused_conv_ln_gelu(
     tile: int = 512,
     interpret: Optional[bool] = None,
     double_buffer: bool = True,
+    batch_block: int = 1,
 ) -> jax.Array:
     """VALID conv (stride s) + LayerNorm + GELU in one kernel."""
+    orig_b = x.shape[0]
+    if batch_block > 1 and x.shape[0] % batch_block:
+        pad_b = (-x.shape[0]) % batch_block
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
     B, L, C = x.shape
     Cout = w.shape[-1]
     t_out = (L - k) // s + 1
@@ -163,7 +222,18 @@ def fused_conv_ln_gelu(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
 
-    if double_buffer:
+    if batch_block > 1:
+        bb = batch_block
+        kernel = functools.partial(
+            _kernel_mb, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C, bb=bb
+        )
+        scratch = [
+            pltpu.VMEM((2, bb, tile + halo_alloc, s * C), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        grid = (B // bb, n_tiles)
+        out_spec = pl.BlockSpec((bb, tile, Cout), lambda g, t: (g, t, 0))
+    elif double_buffer:
         kernel = functools.partial(
             _kernel_db, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
         )
@@ -171,6 +241,8 @@ def fused_conv_ln_gelu(
             pltpu.VMEM((2, tile + halo_alloc, s * C), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        grid = (B, n_tiles)
+        out_spec = pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0))
     else:
         kernel = functools.partial(
             _kernel, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
@@ -179,22 +251,24 @@ def fused_conv_ln_gelu(
             pltpu.VMEM((tile + halo_alloc, s * C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ]
+        grid = (B, n_tiles)
+        out_spec = pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0))
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, n_tiles * tile, Cout), x.dtype),
-        grid=(B, n_tiles),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # grouped x stays in HBM
             pl.BlockSpec((k, C, Cout), lambda b, t: (0, 0, 0)),
             pl.BlockSpec((1, Cout), lambda b, t: (0, 0)),
             pl.BlockSpec((1, Cout), lambda b, t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0)),
+        out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
     )(grouped, w, scale[None, :], bias[None, :])
-    return out[:, :t_out]
+    return out[:orig_b, :t_out]
 
 
 def pallas_conv_stack(

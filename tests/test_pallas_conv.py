@@ -66,3 +66,16 @@ def test_fused_conv_double_buffer_matches_single(rng):
     b = np.asarray(fused_conv_ln_gelu(x, w, scale, bias, 3, 2, tile=16,
                                       interpret=True, double_buffer=True))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fused_conv_multi_batch_matches(rng):
+    x = jnp.asarray(rng.normal(size=(6, 97, 8)), jnp.float32)  # 6 % 4 != 0
+    w = jnp.asarray(rng.normal(size=(3, 8, 8)) * 0.3, jnp.float32)
+    scale = jnp.asarray(rng.normal(size=8) * 0.1 + 1, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=8) * 0.1, jnp.float32)
+    a = np.asarray(fused_conv_ln_gelu(x, w, scale, bias, 3, 2, tile=16,
+                                      interpret=True, double_buffer=False))
+    c = np.asarray(fused_conv_ln_gelu(x, w, scale, bias, 3, 2, tile=16,
+                                      interpret=True, batch_block=4))
+    assert c.shape == a.shape
+    np.testing.assert_allclose(a, c, atol=1e-6)
