@@ -155,3 +155,47 @@ def test_cli_end_to_end(tmp_path, mode):
     assert rc == 0
     for rel in rels:
         assert (out_root / rel).exists()
+
+
+def test_cli_type_specific_real_noise(tmp_path):
+    rng = np.random.default_rng(1)
+    clean_root = tmp_path / "clean"
+    out_root = tmp_path / "root1-f16-15db"
+    os.makedirs(clean_root)
+    write_wav(str(clean_root / "a.wav"), _tone(8000, f=250), 16000)
+    manifest = tmp_path / "train.tsv"
+    with open(manifest, "w") as f:
+        print(str(clean_root), file=f)
+        print("a.wav\t8000", file=f)
+    noise_root = tmp_path / "5types"
+    os.makedirs(noise_root)
+    for fname in ["babble.wav", "f16.wav", "factory1.wav", "hfchannel.wav", "volvo.wav"]:
+        write_wav(str(noise_root / fname), rng.normal(size=3000) * 0.1, 16000)
+    rc = audio_cli_main([
+        "inject", "--input_root", str(clean_root), "--output_root", str(out_root),
+        "--snr_db", "15", "--manifest_path", str(manifest),
+        "--noise_root", str(noise_root), "--noise_mode", "type_specific",
+        "--noise_type", "f16", "--verify",
+    ])
+    assert rc == 0
+    clean, _ = read_wav(str(clean_root / "a.wav"))
+    noisy, _ = read_wav(str(out_root / "a.wav"))
+    assert abs(estimate_snr(clean, noisy) - 15.0) < 1.0
+
+
+def test_cli_missing_noise_file_errors(tmp_path):
+    clean_root = tmp_path / "c"
+    os.makedirs(clean_root)
+    write_wav(str(clean_root / "a.wav"), _tone(4000), 16000)
+    manifest = tmp_path / "train.tsv"
+    with open(manifest, "w") as f:
+        print(str(clean_root), file=f)
+        print("a.wav\t4000", file=f)
+    empty_noise = tmp_path / "empty"
+    os.makedirs(empty_noise)
+    with pytest.raises(FileNotFoundError):
+        audio_cli_main([
+            "inject", "--input_root", str(clean_root), "--output_root",
+            str(tmp_path / "o"), "--snr_db", "10",
+            "--manifest_path", str(manifest), "--noise_root", str(empty_noise),
+        ])
