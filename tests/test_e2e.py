@@ -148,3 +148,61 @@ def test_run_cv_sweep(tmp_path, monkeypatch):
     assert os.path.exists(
         os.path.join(cfg.results_base_dir, "final_summary_report.json")
     )
+
+
+def test_dad_casia_and_emodb_presets(tmp_path, monkeypatch):
+    """CASIA runs the fixed-threshold (USE_DACP/ECDA off) path; EMODB runs
+    10-fold LOSO with its own beta/lr — exercises preset plumbing + speaker
+    folds end to end."""
+    from helpers import make_spk_dir
+
+    monkeypatch.chdir(tmp_path)
+    LMG = {"angry": 0, "happy": 1, "neutral": 2, "sad": 3}
+
+    # CASIA: 4 speakers
+    spks = [f"casia_spk_{i}" for i in range(1, 5)]
+    cd, *_ = make_spk_dir(tmp_path / "cc", spks, n_per_spk=12, dim=12)
+    nd, *_ = make_spk_dir(tmp_path / "cn", spks, n_per_spk=12, dim=12, seed=1)
+    cfg = dad_preset(
+        "casia", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="x/root1-babble-10db", length_buckets=(32,),
+    )
+    assert not cfg.dacp.use_dacp  # committed CASIA config ships DACP off
+    t = CrossDomainTrainer(cfg, fold=0,
+                           clean_store=load_feature_store(cd, LMG),
+                           noisy_store=load_feature_store(nd, LMG))
+    t.train(checkpoint_interval=0)
+    assert os.path.exists(
+        os.path.join(t.results_dir, "models", "casia_cross_domain_best.pth")
+    )
+    # fixed-threshold path: DACP state untouched
+    assert np.allclose(np.asarray(t.state.dacp.ema_thresholds), 0.5)
+
+    # EMODB: 10 speakers LOSO
+    espk = [f"emodb_spk_{s}" for s in
+            ["03", "08", "09", "10", "11", "12", "13", "14", "15", "16"]]
+    ed, *_ = make_spk_dir(tmp_path / "ec", espk, n_per_spk=6, dim=12)
+    en, *_ = make_spk_dir(tmp_path / "en", espk, n_per_spk=6, dim=12, seed=2)
+    ecfg = dad_preset(
+        "emodb", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="y/root2-15db", length_buckets=(32,),
+    )
+    assert ecfg.dacp.quality_smoothing_beta == 0.8
+    te = CrossDomainTrainer(ecfg, fold=3,
+                            clean_store=load_feature_store(ed, LMG),
+                            noisy_store=load_feature_store(en, LMG))
+    te.train(checkpoint_interval=0)
+    assert "root2/15db/fold_4" in te.results_dir.replace("\\", "/")
+    # LOSO isolation: fold 3 test speaker ('10') and val speaker ('11') are
+    # absent from the train split
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data import (
+        corpus_fold_split,
+    )
+
+    store = load_feature_store(ed, LMG)
+    tr, va, tst = corpus_fold_split("emodb", 3, store.groups)
+    tr_spk = {str(store.groups[i])[-2:] for i in tr}
+    assert "10" not in tr_spk and "11" not in tr_spk
+    assert {str(store.groups[i])[-2:] for i in tst} == {"10"}
