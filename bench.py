@@ -58,7 +58,7 @@ def bench_tpu():
 
     log(f"backend: {jax.default_backend()} devices={len(jax.devices())}")
 
-    enc_cfg = EncoderConfig(dtype="bfloat16")
+    enc_cfg = EncoderConfig(dtype="bfloat16", gelu_approximate=True)
     dad_cfg = dad_preset(
         "iemocap", batch_size=B, warmup_epochs=1, ecda_start_epoch=1, epochs=500
     )

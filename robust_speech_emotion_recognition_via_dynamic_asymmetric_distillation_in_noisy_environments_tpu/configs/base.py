@@ -62,6 +62,9 @@ class EncoderConfig:
     # keep conv-stack LayerNorms in the compute dtype (bandwidth win in bf16;
     # the f32-statistics reference behavior is used when False)
     fast_conv_norm: bool = False
+    # tanh-approximate GELU: ~2x faster conv front end on v5e with error at
+    # the bf16 noise floor; False = the reference's exact erf formulation
+    gelu_approximate: bool = False
     # route attention through the Pallas kernel (ops/attention.py). Off by
     # default: at SER sequence lengths (~200-2k frames) XLA's fused attention
     # outperforms the hand kernel (measured 33ms vs 46ms for the 12-block

@@ -63,6 +63,7 @@ class Emotion2vecEncoder(nn.Module):
             conv_layers=cfg.conv_feature_layers,
             dtype=dtype,
             fast_norm=cfg.fast_conv_norm,
+            gelu_approximate=cfg.gelu_approximate,
             name="local_encoder",
         )(wav)
 
@@ -83,6 +84,7 @@ class Emotion2vecEncoder(nn.Module):
             width=cfg.conv_pos_width,
             groups=cfg.conv_pos_groups,
             dtype=dtype,
+            gelu_approximate=cfg.gelu_approximate,
             name="pos_conv",
         )(x, frame_mask)
 
@@ -104,6 +106,7 @@ class Emotion2vecEncoder(nn.Module):
                 layer_norm_first=cfg.layer_norm_first,
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
+                gelu_approximate=cfg.gelu_approximate,
                 name=f"prenet_block_{i}",
             )(x, frame_mask, deterministic=deterministic)
 
@@ -121,6 +124,7 @@ class Emotion2vecEncoder(nn.Module):
                 layer_norm_first=cfg.layer_norm_first,
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
+                gelu_approximate=cfg.gelu_approximate,
                 name=f"block_{i}",
             )(x, frame_mask, deterministic=deterministic)
 

@@ -23,8 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# GELU: torch nn.GELU() default is the exact erf formulation.
-_gelu = lambda x: jax.nn.gelu(x, approximate=False)  # noqa: E731
+# GELU: torch nn.GELU() default is the exact erf formulation. The tanh
+# approximation is ~2x faster on this TPU (XLA's erf lowering costs ~10 ms on
+# the conv stack alone, PERFORMANCE.md) with error at the bf16 noise floor —
+# modules take `gelu_approximate` to opt in for the bf16 production path.
+def _make_gelu(approximate: bool):
+    return lambda x: jax.nn.gelu(x, approximate=approximate)
+
+
+_gelu = _make_gelu(False)
 
 
 def big_neg(dtype) -> float:
@@ -44,9 +51,11 @@ class ConvFeatureExtractor(nn.Module):
     conv_layers: Sequence[Tuple[int, int, int]]
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
+        _gelu = _make_gelu(self.gelu_approximate)
         x = wav[:, :, None].astype(self.dtype)
         ln_dtype = self.dtype if self.fast_norm else jnp.float32
         for i, (dim, kernel, stride) in enumerate(self.conv_layers):
@@ -95,11 +104,13 @@ class PositionalConv(nn.Module):
     width: int = 95
     groups: int = 16
     dtype: jnp.dtype = jnp.float32
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, frame_mask: Optional[jax.Array] = None
     ) -> jax.Array:
+        _gelu = _make_gelu(self.gelu_approximate)
         """frame_mask: (B, T') bool True=pad. Padded frames are zeroed before
         every conv layer so a padded batch reproduces the reference's
         per-clip (unpadded) extraction exactly: per-clip torch pads the conv
@@ -143,11 +154,12 @@ class Mlp(nn.Module):
     out_dim: int
     drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = _gelu(x)
+        x = _make_gelu(self.gelu_approximate)(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -224,6 +236,7 @@ class AltBlock(nn.Module):
     layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(
@@ -249,6 +262,7 @@ class AltBlock(nn.Module):
             out_dim=self.dim,
             drop=self.mlp_drop,
             dtype=self.dtype,
+            gelu_approximate=self.gelu_approximate,
             name="mlp",
         )
         post_drop = nn.Dropout(self.post_mlp_drop)

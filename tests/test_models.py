@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -169,3 +171,17 @@ def test_ssrl_torch_roundtrip():
         state.student,
         back.student,
     )
+
+
+def test_gelu_approximate_close_to_exact():
+    """tanh-approx GELU deviates from the exact erf path by less than the
+    bf16 noise floor on realistic activations."""
+    cfg_a = dataclasses.replace(TINY, gelu_approximate=True)
+    sd = rand_sd(TINY, seed=5)
+    params = fairseq_to_flax_encoder(sd, TINY)
+    rng = np.random.default_rng(5)
+    wav = rng.normal(size=120).astype(np.float32)
+    out_exact, _ = extract_features(Emotion2vecEncoder(TINY), params, jnp.asarray(wav)[None])
+    out_approx, _ = extract_features(Emotion2vecEncoder(cfg_a), params, jnp.asarray(wav)[None])
+    diff = float(jnp.max(jnp.abs(out_exact - out_approx)))
+    assert diff < 0.05, diff
