@@ -50,7 +50,20 @@ def _gelu_erf(x):
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _compute_tile(x, w_ref, scale_ref, bias_ref, o_ref, *, k, s, tile, c_in):
+def _gelu_tanh(x):
+    """tanh-approximate GELU — the fast path (see PERFORMANCE.md: exact erf
+    costs ~2x on this TPU, and the approximation error sits at the bf16
+    noise floor)."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
+
+
+def _gelu(x, approximate):
+    return _gelu_tanh(x) if approximate else _gelu_erf(x)
+
+
+def _compute_tile(x, w_ref, scale_ref, bias_ref, o_ref, *, k, s, tile, c_in,
+                  approx_gelu=False):
     acc = None
     for j in range(k):
         g0 = j // s
@@ -67,11 +80,11 @@ def _compute_tile(x, w_ref, scale_ref, bias_ref, o_ref, *, k, s, tile, c_in):
     var = jnp.mean((acc - mean) ** 2, axis=-1, keepdims=True)
     normed = (acc - mean) * jax.lax.rsqrt(var + 1e-5)
     normed = normed * scale_ref[0][None, :] + bias_ref[0][None, :]
-    o_ref[0] = _gelu_erf(normed).astype(o_ref.dtype)
+    o_ref[0] = _gelu(normed, approx_gelu).astype(o_ref.dtype)
 
 
 def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
-            tile, halo_alloc, c_in):
+            tile, halo_alloc, c_in, approx_gelu=False):
     b = pl.program_id(0)
     ti = pl.program_id(1)
     start = ti * tile
@@ -82,11 +95,11 @@ def _kernel(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sem, *, k, s,
     copy.start()
     copy.wait()
     _compute_tile(x_vmem[:], w_ref, scale_ref, bias_ref, o_ref,
-                  k=k, s=s, tile=tile, c_in=c_in)
+                  k=k, s=s, tile=tile, c_in=c_in, approx_gelu=approx_gelu)
 
 
 def _kernel_db(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
-               s, tile, halo_alloc, c_in):
+               s, tile, halo_alloc, c_in, approx_gelu=False):
     """Double-buffered variant: grid cells run sequentially per core, so the
     2-slot scratch persists across iterations — each cell kicks off the NEXT
     cell's HBM->VMEM DMA before computing on the current slot (the guide's
@@ -124,11 +137,11 @@ def _kernel_db(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
 
     dma_for(b, ti, slot).wait()
     _compute_tile(x_vmem[slot], w_ref, scale_ref, bias_ref, o_ref,
-                  k=k, s=s, tile=tile, c_in=c_in)
+                  k=k, s=s, tile=tile, c_in=c_in, approx_gelu=approx_gelu)
 
 
 def _kernel_mb(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
-               s, tile, halo_alloc, c_in, bb):
+               s, tile, halo_alloc, c_in, bb, approx_gelu=False):
     """Multi-batch double-buffered variant: each grid cell processes ``bb``
     batch rows at once, folding them into the matmul M dimension — 8x fewer
     grid cells and (bb*tile)-row MXU calls."""
@@ -177,12 +190,15 @@ def _kernel_mb(x_hbm, w_ref, scale_ref, bias_ref, o_ref, x_vmem, sems, *, k,
     var = jnp.mean((acc - mean) ** 2, axis=-1, keepdims=True)
     normed = (acc - mean) * jax.lax.rsqrt(var + 1e-5)
     normed = normed * scale_ref[0][None, :] + bias_ref[0][None, :]
-    o_ref[...] = _gelu_erf(normed).reshape(bb, tile, -1).astype(o_ref.dtype)
+    o_ref[...] = _gelu(normed, approx_gelu).reshape(bb, tile, -1).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "s", "tile", "interpret", "double_buffer", "batch_block"),
+    static_argnames=(
+        "k", "s", "tile", "interpret", "double_buffer", "batch_block",
+        "approx_gelu",
+    ),
 )
 def fused_conv_ln_gelu(
     x: jax.Array,  # (B, L, C)
@@ -195,6 +211,7 @@ def fused_conv_ln_gelu(
     interpret: Optional[bool] = None,
     double_buffer: bool = True,
     batch_block: int = 1,
+    approx_gelu: bool = False,
 ) -> jax.Array:
     """VALID conv (stride s) + LayerNorm + GELU in one kernel."""
     orig_b = x.shape[0]
@@ -225,7 +242,8 @@ def fused_conv_ln_gelu(
     if batch_block > 1:
         bb = batch_block
         kernel = functools.partial(
-            _kernel_mb, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C, bb=bb
+            _kernel_mb, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C,
+            bb=bb, approx_gelu=approx_gelu,
         )
         scratch = [
             pltpu.VMEM((2, bb, tile + halo_alloc, s * C), x.dtype),
@@ -235,7 +253,8 @@ def fused_conv_ln_gelu(
         out_spec = pl.BlockSpec((bb, tile, Cout), lambda g, t: (g, t, 0))
     elif double_buffer:
         kernel = functools.partial(
-            _kernel_db, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
+            _kernel_db, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C,
+            approx_gelu=approx_gelu,
         )
         scratch = [
             pltpu.VMEM((2, tile + halo_alloc, s * C), x.dtype),
@@ -245,7 +264,8 @@ def fused_conv_ln_gelu(
         out_spec = pl.BlockSpec((1, tile, Cout), lambda b, t: (b, t, 0))
     else:
         kernel = functools.partial(
-            _kernel, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C
+            _kernel, k=k, s=s, tile=tile, halo_alloc=halo_alloc, c_in=C,
+            approx_gelu=approx_gelu,
         )
         scratch = [
             pltpu.VMEM((tile + halo_alloc, s * C), x.dtype),
