@@ -183,3 +183,46 @@ def test_anchor_calibration(rng):
     assert anchors.shape == (4,)
     assert np.all(anchors >= 0)
     assert np.all(np.isfinite(anchors))
+
+
+def test_anchor_calibration_matches_reference_formula(rng):
+    """anchors = clamp(mu_clean - k*sigma_clean, 0) * mu_noisy/(mu_clean+1e-8)
+    grouped by TRUE labels (reference train.py:317-357)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.dad.dacp import (
+        certainty_scores,
+    )
+
+    head, tx, state = init_dad_train_state(CFG, jax.random.PRNGKey(0))
+    clean = [_batch(rng) for _ in range(3)]
+    noisy = [_batch(rng, seed_shift=0.4) for _ in range(3)]
+    anchors = run_anchor_calibration(head, state.ssrl.student, clean, noisy, CFG)
+
+    # oracle: recompute scores per true class with numpy lists
+    import jax.numpy as _jnp
+
+    def scores_of(b):
+        logits, _ = head.apply(state.ssrl.student, _jnp.asarray(b.feats),
+                               _jnp.asarray(b.padding_mask), deterministic=True)
+        probs = jax.nn.softmax(logits, axis=-1)
+        s, _p = certainty_scores(probs, CFG.dacp.use_entropy_in_score)
+        return np.asarray(s)
+
+    per_clean = [[] for _ in range(4)]
+    per_noisy = [[] for _ in range(4)]
+    for b in clean:
+        s = scores_of(b)
+        for i in range(len(s)):
+            if b.row_valid[i]:
+                per_clean[int(b.labels[i])].append(s[i])
+    for b in noisy:
+        s = scores_of(b)
+        for i in range(len(s)):
+            if b.row_valid[i]:
+                per_noisy[int(b.labels[i])].append(s[i])
+    mu_c = np.array([np.mean(x) if x else 0.0 for x in per_clean])
+    sd_c = np.array([np.std(x) if x else 0.0 for x in per_clean])
+    mu_n = np.array([np.mean(x) if x else 0.0 for x in per_noisy])
+    expected = np.clip(mu_c - CFG.dacp.anchor_std_k * sd_c, 0, None) * (
+        mu_n / (mu_c + 1e-8)
+    )
+    np.testing.assert_allclose(anchors, expected, rtol=1e-5, atol=1e-7)
