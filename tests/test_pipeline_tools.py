@@ -373,3 +373,73 @@ def test_paired_gamma_delta_sweep(tmp_path, monkeypatch, rng):
     )
     assert res[0]["overrides"]["ECDA_COMPACTNESS_WEIGHT_GAMMA"] == 0.1
     assert res[0]["overrides"]["ECDA_REPULSION_WEIGHT_DELTA"] == 0.1
+
+
+def test_noise_condition_experiments_grid():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp.ablation import (
+        noise_condition_experiments,
+    )
+
+    grid = noise_condition_experiments("/data/noisy")
+    assert len(grid) == 16  # 4 types x 4 SNRs
+    assert grid["babble_0db"]["NOISY_DATA_DIR"].replace("\\", "/").endswith(
+        "root1-babble-0db"
+    )
+
+
+def test_classification_report_text_structure(rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.eval.metrics import (
+        classification_report_text,
+    )
+
+    y = rng.integers(0, 4, 60)
+    p = rng.integers(0, 4, 60)
+    txt = classification_report_text(y, p, ["ang", "hap", "neu", "sad"])
+    assert "weighted avg" in txt and "macro avg" in txt
+    assert "ang" in txt and "precision" in txt
+
+
+def test_inference_teacher_network(tmp_path, rng):
+    d, *_ = make_iemocap_dir(tmp_path / "f", n=24, dim=12)
+    _h, ssrl = init_ssrl(jax.random.PRNGKey(3), 12, 8)
+    # make teacher differ from student so the switch is observable
+    import jax as _jax
+
+    ssrl = ssrl._replace(
+        teacher=_jax.tree.map(lambda x: x + 0.5, ssrl.teacher)
+    )
+    wpath = str(tmp_path / "w.pth")
+    save_torch_file(ssrl_to_torch_state_dict(ssrl), wpath)
+    cfg = dad_preset("iemocap", input_dim=12, hidden_dim=8, batch_size=8,
+                     length_buckets=(32,))
+    inf_s = CrossDomainInference(wpath, d, str(tmp_path / "o1"), cfg=cfg)
+    inf_t = CrossDomainInference(wpath, d, str(tmp_path / "o2"), cfg=cfg,
+                                 use_teacher=True)
+    rs = inf_s.run_inference("all")
+    rt = inf_t.run_inference("all")
+    assert rs["info"]["network"] == "student"
+    assert rt["info"]["network"] == "teacher"
+    # different params -> (almost surely) different confidences
+    assert rs["confidence_stats"]["mean"] != rt["confidence_stats"]["mean"]
+
+
+def test_run_cv_survives_fold_failure(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        run_cv,
+    )
+    from helpers import make_iemocap_dir as mk
+
+    cd, *_ = mk(tmp_path / "c", n=50, dim=12)
+    nd, *_ = mk(tmp_path / "n", n=50, dim=12, seed=1)
+    clean = load_feature_store(cd, LM)
+    noisy = load_feature_store(nd, LM)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=1,
+        warmup_epochs=1, validation_interval=1,
+        noisy_data_dir="x/root1-babble-10db", length_buckets=(32,),
+    )
+    # fold 99 raises inside the sweep; the sweep must continue
+    summary = run_cv(cfg, folds=[99, 0], clean_store=clean, noisy_store=noisy)
+    assert "error" in summary["folds"][0]
+    assert "error" not in summary["folds"][1]
