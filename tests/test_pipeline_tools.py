@@ -443,3 +443,60 @@ def test_run_cv_survives_fold_failure(tmp_path, monkeypatch):
     summary = run_cv(cfg, folds=[99, 0], clean_store=clean, noisy_store=noisy)
     assert "error" in summary["folds"][0]
     assert "error" not in summary["folds"][1]
+
+
+def test_inference_speaker_fold_split(tmp_path, rng):
+    """--split test on a CASIA-style store: 4 unique speakers -> casia fold
+    policy; only fold-0's test speaker is evaluated."""
+    from helpers import make_spk_dir
+
+    spks = [f"casia_spk_{i}" for i in range(1, 5)]
+    d, *_ = make_spk_dir(tmp_path / "cf", spks, n_per_spk=6, dim=12)
+    _h, ssrl = init_ssrl(jax.random.PRNGKey(0), 12, 8)
+    wpath = str(tmp_path / "w.pth")
+    save_torch_file(ssrl_to_torch_state_dict(ssrl), wpath)
+    cfg = dad_preset("casia", input_dim=12, hidden_dim=8, batch_size=8,
+                     length_buckets=(32,))
+    inf = CrossDomainInference(wpath, d, str(tmp_path / "o"), cfg=cfg, fold=0)
+    assert inf.ds_type == "speaker"
+    res = inf.run_inference("test")
+    assert res["info"]["num_samples"] == 6  # one test speaker's clips
+
+
+def test_preprocess_root2(tmp_path, rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_noise_grid,
+    )
+
+    clean_root = tmp_path / "w"
+    os.makedirs(clean_root)
+    t = np.arange(4000) / 16000
+    write_wav(str(clean_root / "a.wav"), 0.3 * np.sin(2 * np.pi * 440 * t), 16000)
+    noise_root = tmp_path / "5types"
+    os.makedirs(noise_root)
+    for fname in ["babble.wav", "f16.wav", "factory1.wav", "hfchannel.wav", "volvo.wav"]:
+        write_wav(str(noise_root / fname), rng.normal(size=2000) * 0.1, 16000)
+    mdir = tmp_path / "m"
+    os.makedirs(mdir)
+    with open(mdir / "train.tsv", "w") as f:
+        print(str(clean_root), file=f)
+        print("a.wav\t4000", file=f)
+    out = run_noise_grid(str(mdir), str(clean_root), str(tmp_path / "nz"),
+                         snrs=[15], noise_root=str(noise_root), root2=True)
+    assert out[0]["name"] == "root2-15db"
+    assert os.path.exists(os.path.join(out[0]["wav_dir"], "a.wav"))
+
+
+def test_profiler_trace_smoke(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.utils.profiling import (
+        trace,
+    )
+
+    with trace(str(tmp_path / "tr")):
+        _ = jax.jit(lambda x: x * 2)(jnp.ones(8)).block_until_ready()
+    import glob
+
+    assert glob.glob(str(tmp_path / "tr" / "**" / "*.xplane.pb"), recursive=True)
