@@ -79,13 +79,18 @@ def _cmd_dad(args):
     from .configs import dad_preset
     from .train import CrossDomainTrainer, run_cv
 
-    cfg = dad_preset(
-        args.corpus,
+    kw = dict(
         clean_data_dir=args.clean,
         noisy_data_dir=args.noisy,
         pretrained_weight=args.weights or "",
         epochs=args.epochs,
     )
+    if args.warmup_epochs is not None:
+        kw["warmup_epochs"] = args.warmup_epochs
+        kw["ecda_start_epoch"] = args.warmup_epochs
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    cfg = dad_preset(args.corpus, **kw)
     if args.fold == "all":
         run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk)
     else:
@@ -249,6 +254,9 @@ def main(argv=None) -> int:
     p.add_argument("--scan-chunk", type=int, default=8,
                    help="batches per lax.scan dispatch (0 = per-batch steps)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
+    p.add_argument("--batch-size", type=int, default=None)
     p.set_defaults(func=_cmd_dad)
 
     p = sub.add_parser("infer")
