@@ -27,6 +27,14 @@ def make_mesh(
     n = n_devices or len(devices)
     if n % tp != 0:
         raise ValueError(f"n_devices={n} not divisible by tp={tp}")
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: need {n} devices, have {len(devices)} "
+            f"({devices[0].platform!r} platform). For multi-chip dry runs on "
+            "a single-chip host, force a virtual CPU platform first "
+            "(JAX_PLATFORMS=cpu + --xla_force_host_platform_device_count=N "
+            "before backend init; see tests/conftest.py)."
+        )
     axis_names = tuple(axis_names)
     if len(axis_names) == 1:
         grid = np.array(devices[:n])
