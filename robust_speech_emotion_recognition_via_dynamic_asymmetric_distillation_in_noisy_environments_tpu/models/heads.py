@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
@@ -17,6 +18,39 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.masked import masked_mean_pool
+
+
+def _torch_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear weight init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)). flax kernels are (in, out)."""
+    bound = 1.0 / math.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_bias_init(fan_in: int):
+    """torch nn.Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    flax's bias_init only sees the (out,) shape, so fan_in is captured here.
+    Matching the reference's init distributions matters for statistical
+    accuracy parity (flax's default lecun_normal + zero bias trains to
+    measurably different accuracy on short schedules)."""
+    bound = 1.0 / math.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_linear(features: int, fan_in: int, name: str) -> nn.Dense:
+    """nn.Dense with torch nn.Linear's default init (reference heads are
+    plain torch Linears: pretrain model.py:4-21, DAD model.py:6-64)."""
+    return nn.Dense(
+        features,
+        kernel_init=_torch_kernel_init,
+        bias_init=_torch_bias_init(fan_in),
+        name=name,
+    )
 
 
 class PretrainHead(nn.Module):
@@ -29,10 +63,10 @@ class PretrainHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jax.Array, padding_mask: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, name="pre_net")(feats)
+        x = torch_linear(self.hidden_dim, self.input_dim, "pre_net")(feats)
         x = nn.relu(x)
         x = masked_mean_pool(x, padding_mask)
-        return nn.Dense(self.num_classes, name="post_net")(x)
+        return torch_linear(self.num_classes, self.hidden_dim, "post_net")(x)
 
 
 class DADEncoder(nn.Module):
@@ -43,7 +77,7 @@ class DADEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: jax.Array, padding_mask: jax.Array) -> jax.Array:
-        x = nn.Dense(self.hidden_dim, name="pre_net")(feats)
+        x = torch_linear(self.hidden_dim, self.input_dim, "pre_net")(feats)
         x = nn.relu(x)
         return masked_mean_pool(x, padding_mask)
 
@@ -61,7 +95,7 @@ class DADClassifier(nn.Module):
         self, x: jax.Array, deterministic: bool = True
     ) -> jax.Array:
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        return nn.Dense(self.num_classes, name="fc_layer")(x)
+        return torch_linear(self.num_classes, self.hidden_dim, "fc_layer")(x)
 
 
 class DADHead(nn.Module):

@@ -151,7 +151,9 @@ def test_training_reduces_ce(rng):
     s = StepScalars.for_epoch(CFG, 0)
     clean, noisy = _batch(rng), _batch(rng, labeled=False)
     first = None
-    for i in range(150):
+    # 400 steps: the torch-faithful init (kaiming-uniform, ~3x smaller
+    # variance than flax lecun_normal) memorizes the fixed batch slower
+    for i in range(400):
         state, metrics, _ = step(state, clean, noisy, s, anchors, jax.random.PRNGKey(i))
         if first is None:
             first = float(metrics["supervised_ce_loss"])
