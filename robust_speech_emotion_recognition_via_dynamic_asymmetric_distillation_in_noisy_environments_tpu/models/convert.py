@@ -53,33 +53,71 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
 
 _AUDIO = "modality_encoders.AUDIO."
 
+# Weights of the d2v-pretraining machinery that real emotion2vec_base.pt
+# checkpoints carry but the features_only inference path never touches
+# (reference base.py:74-683, emotion2vec.py:87; see PARITY.md dead-branch
+# ledger). The converter must skip them silently — and must NOT silently
+# skip anything else.
+_DEAD_WEIGHT_MARKERS = (
+    "_ema",
+    ".decoder.",
+    "decoder.",
+    "alibi_scale",
+    "alibi",
+    "mask_emb",
+    "mask_token",
+    "ema.",
+    "final_proj",
+    "recon_proj",
+    "project_q",
+    "cls_emb",
+    "fixed_positional_encoder",
+    "num_updates",
+)
+
+
+def _is_dead_weight(key: str) -> bool:
+    return any(m in key for m in _DEAD_WEIGHT_MARKERS)
+
 
 def fairseq_to_flax_encoder(
-    sd: Mapping[str, np.ndarray], cfg: EncoderConfig
+    sd: Mapping[str, np.ndarray], cfg: EncoderConfig, strict: bool = True
 ) -> Dict[str, Any]:
     """Maps a fairseq Data2VecMultiModel state dict onto the
     ``Emotion2vecEncoder`` param tree. Layouts converted:
 
     - conv1d weight (out, in/groups, k) -> (k, in/groups, out)
     - linear weight (out, in) -> (in, out)
+
+    ``strict`` audits the conversion against real-checkpoint hazards:
+    every source key must be either consumed by the mapping or a known
+    pretraining-only dead weight (``_DEAD_WEIGHT_MARKERS``) — any other
+    leftover raises. Mapped arrays are also shape-checked against the
+    flax module's ``jax.eval_shape`` init, so a wrong-config checkpoint
+    fails loudly instead of at first apply.
     """
+    consumed = set()
+
+    def get(key):
+        consumed.add(key)
+        return sd[key]
 
     def lin(prefix):
         return {
-            "kernel": _t(sd[prefix + ".weight"]).T,
-            "bias": _t(sd[prefix + ".bias"]),
+            "kernel": _t(get(prefix + ".weight")).T,
+            "bias": _t(get(prefix + ".bias")),
         }
 
     def conv(prefix, bias=True):
-        out = {"kernel": _t(sd[prefix + ".weight"]).transpose(2, 1, 0)}
+        out = {"kernel": _t(get(prefix + ".weight")).transpose(2, 1, 0)}
         if bias:
-            out["bias"] = _t(sd[prefix + ".bias"])
+            out["bias"] = _t(get(prefix + ".bias"))
         return out
 
     def ln(prefix):
         return {
-            "scale": _t(sd[prefix + ".weight"]),
-            "bias": _t(sd[prefix + ".bias"]),
+            "scale": _t(get(prefix + ".weight")),
+            "bias": _t(get(prefix + ".bias")),
         }
 
     params: Dict[str, Any] = {}
@@ -128,7 +166,45 @@ def fairseq_to_flax_encoder(
     for i in range(cfg.depth):
         params[f"block_{i}"] = block(f"blocks.{i}")
 
-    return {"params": params}
+    out = {"params": params}
+    if strict:
+        leftover = [k for k in sd if k not in consumed]
+        unknown = sorted(k for k in leftover if not _is_dead_weight(k))
+        if unknown:
+            raise ValueError(
+                "fairseq checkpoint carries keys the converter does not "
+                f"recognize (not mapped, not known-dead): {unknown[:10]}"
+                + (f" ... +{len(unknown) - 10} more" if len(unknown) > 10 else "")
+            )
+        _check_shapes_against_module(out, cfg)
+    return out
+
+
+def _check_shapes_against_module(converted: Dict[str, Any], cfg: EncoderConfig):
+    """Raises if any converted array's shape differs from the flax module's
+    initialization shapes (computed shape-only via jax.eval_shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .emotion2vec import Emotion2vecEncoder
+
+    model = Emotion2vecEncoder(cfg)
+    expected = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 2048), jnp.float32)),
+        jax.random.PRNGKey(0),
+    )
+    exp_shapes = tree_shapes(expected)
+    got_shapes = tree_shapes(converted)
+    bad = [
+        f"{path}: checkpoint {got_shapes.get(path)} vs module {shape}"
+        for path, shape in exp_shapes.items()
+        if got_shapes.get(path) != tuple(shape)
+    ]
+    missing = [p for p in exp_shapes if p not in got_shapes]
+    if bad or missing:
+        raise ValueError(
+            f"checkpoint/config shape mismatch: {bad[:5]} missing={missing[:5]}"
+        )
 
 
 def load_emotion2vec_checkpoint(path: str, cfg: EncoderConfig) -> Dict[str, Any]:
@@ -241,6 +317,8 @@ def tree_shapes(tree: Any, prefix: str = "") -> Dict[str, tuple]:
     if isinstance(tree, Mapping):
         for k, v in tree.items():
             out.update(tree_shapes(v, f"{prefix}/{k}" if prefix else str(k)))
+    elif hasattr(tree, "shape"):
+        out[prefix] = tuple(tree.shape)
     else:
         out[prefix] = tuple(np.shape(tree))
     return out
