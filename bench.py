@@ -58,6 +58,9 @@ def bench_tpu():
 
     log(f"backend: {jax.default_backend()} devices={len(jax.devices())}")
 
+    # NB: fast_ln / fast_softmax measured in-step NEUTRAL-to-slightly-worse
+    # (59.9 -> 61-63 ms device time): XLA already fuses LN/softmax into the
+    # matmul epilogues for free; see PERFORMANCE.md round-2 section.
     enc_cfg = EncoderConfig(dtype="bfloat16", gelu_approximate=True)
     dad_cfg = dad_preset(
         "iemocap", batch_size=B, warmup_epochs=1, ecda_start_epoch=1, epochs=500

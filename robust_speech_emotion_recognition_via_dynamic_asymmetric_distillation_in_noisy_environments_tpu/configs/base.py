@@ -65,6 +65,13 @@ class EncoderConfig:
     # tanh-approximate GELU: ~2x faster conv front end on v5e with error at
     # the bf16 noise floor; False = the reference's exact erf formulation
     gelu_approximate: bool = False
+    # LayerNorms with f32 statistics but compute-dtype normalize arithmetic
+    # (~30% cheaper LN ops, which dominate the fused step — PERFORMANCE.md);
+    # False = the reference's full-f32 LN path used by parity tests
+    fast_ln: bool = False
+    # attention softmax in the compute dtype (exp still f32): halves the
+    # materialized score traffic; False = f32 softmax (reference semantics)
+    fast_softmax: bool = False
     # route attention through the Pallas kernel (ops/attention.py). Off by
     # default: at SER sequence lengths (~200-2k frames) XLA's fused attention
     # outperforms the hand kernel (measured 33ms vs 46ms for the 12-block

@@ -27,6 +27,7 @@ from .layers import (
     ConvFeatureExtractor,
     PositionalConv,
     convert_padding_mask,
+    make_norm,
 )
 
 
@@ -64,11 +65,12 @@ class Emotion2vecEncoder(nn.Module):
             dtype=dtype,
             fast_norm=cfg.fast_conv_norm,
             gelu_approximate=cfg.gelu_approximate,
+            fast_ln=cfg.fast_ln,
             name="local_encoder",
         )(wav)
 
         # project_features: LN(512) -> Dense(768) (audio.py:73-77)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="proj_ln")(x)
+        x = make_norm(cfg.fast_ln, 1e-5, "proj_ln")(x)
         x = nn.Dense(cfg.embed_dim, dtype=dtype, name="proj")(x.astype(dtype))
 
         frame_mask = None
@@ -85,14 +87,13 @@ class Emotion2vecEncoder(nn.Module):
             groups=cfg.conv_pos_groups,
             dtype=dtype,
             gelu_approximate=cfg.gelu_approximate,
+            fast_ln=cfg.fast_ln,
             name="pos_conv",
         )(x, frame_mask)
 
         # prenet context encoder: post-LN => LN applied BEFORE the blocks
         # (modules.py:72-75), then prenet_depth blocks
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=jnp.float32, name="prenet_ln")(
-            x
-        ).astype(dtype)
+        x = make_norm(cfg.fast_ln, cfg.norm_eps, "prenet_ln")(x).astype(dtype)
         for i in range(cfg.prenet_depth):
             x = AltBlock(
                 dim=cfg.embed_dim,
@@ -107,6 +108,8 @@ class Emotion2vecEncoder(nn.Module):
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
                 gelu_approximate=cfg.gelu_approximate,
+                fast_ln=cfg.fast_ln,
+                fast_softmax=cfg.fast_softmax,
                 name=f"prenet_block_{i}",
             )(x, frame_mask, deterministic=deterministic)
 
@@ -125,6 +128,8 @@ class Emotion2vecEncoder(nn.Module):
                 dtype=dtype,
                 use_flash=cfg.use_flash_attention,
                 gelu_approximate=cfg.gelu_approximate,
+                fast_ln=cfg.fast_ln,
+                fast_softmax=cfg.fast_softmax,
                 name=f"block_{i}",
             )(x, frame_mask, deterministic=deterministic)
 

@@ -38,6 +38,63 @@ def big_neg(dtype) -> float:
     return float(jnp.finfo(dtype).min) / 2
 
 
+class FastLayerNorm(nn.Module):
+    """LayerNorm with f32 statistics but compute-dtype normalize arithmetic.
+
+    The step-time profile (PERFORMANCE.md round 2) shows XLA's LN emission —
+    convert-to-f32 + lane reduce + f32 normalize — eating ~2/3 of the fused
+    step. Keeping the statistics in f32 (numerical safety) while doing the
+    subtract/scale/shift in the compute dtype cuts the op's VPU work ~30%
+    (measured 5.24 -> 3.73 ms at (64,12799,512) bf16). Deviation vs the f32
+    reference path is at the bf16 rounding floor.
+
+    Parameter names/shapes match nn.LayerNorm, so checkpoints are
+    interchangeable between the fast and reference paths.
+    """
+
+    epsilon: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        z = x.astype(jnp.float32)
+        mu = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(z * z, axis=-1, keepdims=True) - mu * mu
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        y = (x - mu.astype(x.dtype)) * inv.astype(x.dtype)
+        if self.use_scale:
+            s = self.param(
+                "scale", nn.initializers.ones_init(), (x.shape[-1],), jnp.float32
+            )
+            y = y * s.astype(x.dtype)
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros_init(), (x.shape[-1],), jnp.float32
+            )
+            y = y + b.astype(x.dtype)
+        return y
+
+
+def make_norm(
+    fast: bool,
+    eps: float,
+    name: str,
+    use_scale: bool = True,
+    use_bias: bool = True,
+    stat_dtype=jnp.float32,
+):
+    """Reference-path nn.LayerNorm (f32) or the FastLayerNorm variant."""
+    if fast:
+        return FastLayerNorm(
+            epsilon=eps, use_scale=use_scale, use_bias=use_bias, name=name
+        )
+    return nn.LayerNorm(
+        epsilon=eps, dtype=stat_dtype, use_scale=use_scale, use_bias=use_bias,
+        name=name,
+    )
+
+
 class ConvFeatureExtractor(nn.Module):
     """wav2vec2-style conv stack: (B, T) waveform -> (B, T', C).
 
@@ -52,6 +109,7 @@ class ConvFeatureExtractor(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fast_norm: bool = False
     gelu_approximate: bool = False
+    fast_ln: bool = False
 
     @nn.compact
     def __call__(self, wav: jax.Array) -> jax.Array:
@@ -68,8 +126,11 @@ class ConvFeatureExtractor(nn.Module):
                 dtype=self.dtype,
                 name=f"conv_{i}",
             )(x)
-            # fairseq Fp32LayerNorm: normalize in float32 (unless fast_norm)
-            x = nn.LayerNorm(epsilon=1e-5, dtype=ln_dtype, name=f"ln_{i}")(x)
+            # fairseq Fp32LayerNorm: normalize in float32 (unless fast_norm /
+            # fast_ln, which keep f32 statistics only)
+            x = make_norm(
+                self.fast_ln, 1e-5, f"ln_{i}", stat_dtype=ln_dtype
+            )(x)
             x = _gelu(x).astype(self.dtype)
         return x
 
@@ -105,6 +166,7 @@ class PositionalConv(nn.Module):
     groups: int = 16
     dtype: jnp.dtype = jnp.float32
     gelu_approximate: bool = False
+    fast_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -136,12 +198,8 @@ class PositionalConv(nn.Module):
             )(x)
             if trim:
                 x = x[:, :-trim]
-            x = nn.LayerNorm(
-                epsilon=1e-5,
-                use_bias=False,
-                use_scale=False,
-                dtype=jnp.float32,
-                name=f"pos_ln_{i}",
+            x = make_norm(
+                self.fast_ln, 1e-5, f"pos_ln_{i}", use_scale=False, use_bias=False
             )(x)
             x = _gelu(x).astype(self.dtype)
         return x
@@ -175,6 +233,10 @@ class AltAttention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # softmax in the compute dtype (max-subtracted, exp in f32): halves the
+    # materialized (B,H,N,N) score traffic — the single largest step cost.
+    # Deviation vs the f32 path is at the bf16 rounding floor.
+    fast_softmax: bool = False
 
     @nn.compact
     def __call__(
@@ -210,9 +272,14 @@ class AltAttention(nn.Module):
                 attn = jnp.where(
                     padding_mask[:, None, None, :], big_neg(attn.dtype), attn
                 )
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
-                self.dtype
-            )
+            if self.fast_softmax:
+                m = jnp.max(attn, axis=-1, keepdims=True)
+                e = jnp.exp((attn - m).astype(jnp.float32)).astype(self.dtype)
+                attn = e / jnp.sum(e, axis=-1, keepdims=True)
+            else:
+                attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+                    self.dtype
+                )
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
 
@@ -237,6 +304,8 @@ class AltBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     gelu_approximate: bool = False
+    fast_ln: bool = False
+    fast_softmax: bool = False
 
     @nn.compact
     def __call__(
@@ -253,10 +322,11 @@ class AltBlock(nn.Module):
             proj_drop=self.drop,
             dtype=self.dtype,
             use_flash=self.use_flash,
+            fast_softmax=self.fast_softmax,
             name="attn",
         )
-        norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=jnp.float32, name="norm2")
+        norm1 = make_norm(self.fast_ln, self.norm_eps, "norm1")
+        norm2 = make_norm(self.fast_ln, self.norm_eps, "norm2")
         mlp = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio),
             out_dim=self.dim,
