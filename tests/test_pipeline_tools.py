@@ -134,22 +134,58 @@ def _fake_results_dir(tmp_path, rng):
 
 def test_analysis_suite(tmp_path, rng):
     rd = _fake_results_dir(tmp_path, rng)
-    d = analyze_disagreement(rd)
-    assert "mean_disagreement" in d and d["num_points"] == 20
-    b = analyze_confirmation_bias(rd)
-    assert b["num_tracked_samples"] == 5
+    d = analyze_disagreement(rd, warmup_epochs=5)
+    assert d["analysis_summary"]["num_validation_points_noisy"] == 20
+    ns = d["noisy_domain"]
+    for key in ("mean_disagreement", "std_disagreement", "max_disagreement",
+                "min_disagreement", "final_disagreement", "initial_disagreement",
+                "trend_slope", "trend_r_squared", "trend_p_value"):
+        assert key in ns
+    assert "firewall_vs_disagreement" in d["mechanism_correlations"]
+
+    b = analyze_confirmation_bias(rd, warmup_epochs=0)
+    lc = b["label_consistency"]
+    assert lc["total_samples_tracked"] == 5
+    assert lc["total_epochs"] == 10
+    assert "mean_flip_rate" in lc and "samples_never_flipped" in lc
+    assert b["confirmation_patterns"]  # certainty-bin pattern stats exist
+    assert "correlation" in b["firewall_relationship"]
+
     e = analyze_dacp_evolution(rd)
     assert "dacp_ema_thresholds" in e
-    assert os.path.exists(os.path.join(rd, "analysis", "disagreement_summary.json"))
+
+    adir = os.path.join(rd, "analysis")
+    for rel in (
+        "disagreement/disagreement_summary.json",
+        "disagreement/disagreement_analysis_report.json",
+        "disagreement/teacher_student_disagreement.png",
+        "disagreement/disagreement_vs_mechanisms.png",
+        "confirmation_bias/confirmation_bias_analysis_report.json",
+        "confirmation_bias/pseudo_label_flip_analysis.png",
+        "confirmation_bias/confirmation_bias_patterns.png",
+    ):
+        assert os.path.exists(os.path.join(adir, rel)), rel
 
 
 def test_distribution_analysis(tmp_path, rng):
     d, *_ = make_iemocap_dir(tmp_path, n=30)
     store = load_feature_store(d, LM)
-    out = analyze_distribution(store, ["ang", "hap", "neu", "sad"], str(tmp_path / "a"))
-    assert out["num_clips"] == 30
-    assert sum(out["class_counts"].values()) == 30
-    assert len(out["group_counts"]) == 5
+    out_dir = str(tmp_path / "a")
+    out = analyze_distribution(store, ["ang", "hap", "neu", "sad"], out_dir,
+                               corpus="iemocap")
+    assert out["dataset_info"]["num_clips"] == 30
+    assert out["overall_distribution"]["total_samples"] == 30
+    assert sum(out["overall_distribution"]["counts"].values()) == 30
+    assert len(out["session_distributions"]) == 5
+    for g, row in out["session_distributions"].items():
+        assert abs(sum(row["percentages"].values()) - 100.0) < 1e-6
+    for name in (
+        "overall_distribution_pie.png", "overall_distribution_bars.png",
+        "session_comparison.png", "session_stacked_distribution.png",
+        "detailed_statistics_table.png", "length_distribution.png",
+        "iemocap_distribution_analysis_report.json", "distribution_report.txt",
+    ):
+        assert os.path.exists(os.path.join(out_dir, name)), name
 
 
 def test_tsne_analysis(tmp_path, rng):
