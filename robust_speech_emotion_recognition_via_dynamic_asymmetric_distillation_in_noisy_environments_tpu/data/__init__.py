@@ -8,6 +8,7 @@ from .folds import (
     EMODB_SPEAKERS,
 )
 from .batching import Batch, PaddedBatchIterator, pad_to_bucket
+from .prefetch import prefetch
 
 __all__ = [
     "FeatureStore",
@@ -21,4 +22,5 @@ __all__ = [
     "Batch",
     "PaddedBatchIterator",
     "pad_to_bucket",
+    "prefetch",
 ]

@@ -16,6 +16,19 @@ from typing import Iterator, NamedTuple, Optional, Sequence, Tuple
 import numpy as np
 
 from .store import FeatureStore
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+# which assembly path is active is logged once per process so a perf A/B
+# always knows what it measured (round-1 review finding)
+_LOGGED_PATHS = set()
+
+
+def _log_assembly_path(path: str) -> None:
+    if path not in _LOGGED_PATHS:
+        _LOGGED_PATHS.add(path)
+        logger.info("batch assembly path: %s", path)
 
 
 class Batch(NamedTuple):
@@ -71,6 +84,9 @@ class PaddedBatchIterator:
                     )
             except (RuntimeError, OSError):
                 self._native = None
+        _log_assembly_path(
+            "native C++ (libdadtpu_native)" if self._native is not None else "numpy"
+        )
 
     def __len__(self) -> int:
         return int(np.ceil(self.store.num / self.batch_size))

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..configs import DADConfig
 from ..data.batching import PaddedBatchIterator, paired_epoch
+from ..data.prefetch import prefetch
 from ..data.folds import corpus_fold_split
 from ..data.store import FeatureStore, load_feature_store
 from ..dad import (
@@ -105,13 +106,18 @@ class CrossDomainTrainer:
         noisy_store: Optional[FeatureStore] = None,
         pretrain_params: Optional[dict] = None,
         scan_chunk: int = 0,
+        prefetch_depth: int = 2,
     ):
         """``scan_chunk > 0`` runs the epoch as lax.scan over chunks of that
         many batches (one device dispatch per chunk instead of per batch) —
-        numerically identical to per-batch stepping; see dad/epoch_scan.py."""
+        numerically identical to per-batch stepping; see dad/epoch_scan.py.
+
+        ``prefetch_depth > 0`` assembles + device_puts batch N+1 on a worker
+        thread while step N runs (data/prefetch.py); 0 disables."""
         self.cfg = cfg
         self.fold = fold
         self.scan_chunk = scan_chunk
+        self.prefetch_depth = prefetch_depth
         self.experiment_name = experiment_name
         self.noise_info = extract_noise_info(cfg.noisy_data_dir)
         self.results_dir = self._setup_results_directory()
@@ -249,7 +255,12 @@ class CrossDomainTrainer:
         if self._epoch_runner is not None:
             n = self._run_epoch_scanned(epoch, scalars, totals)
         else:
-            for clean_b, noisy_b in paired_epoch(self.clean_train, self.noisy_train, epoch):
+            pairs = prefetch(
+                paired_epoch(self.clean_train, self.noisy_train, epoch),
+                depth=self.prefetch_depth,
+                to_device=True,
+            )
+            for clean_b, noisy_b in pairs:
                 self._rng, key = jax.random.split(self._rng)
                 self.state, metrics, tracking = self.train_step(
                     self.state, clean_b, noisy_b, scalars, self.anchors, key
@@ -273,40 +284,55 @@ class CrossDomainTrainer:
             self.training_history["ecda_class_attention"].append(attn.tolist())
         return {k: v / max(n, 1) for k, v in totals.items()}
 
-    def _run_epoch_scanned(self, epoch, scalars, totals) -> int:
-        """Chunked lax.scan epoch: one dispatch per scan_chunk batches."""
+    def _iter_scanned_chunks(self, epoch):
+        """Streams (clean_stacked, noisy_stacked) scan chunks; the host-side
+        chunk stacking runs inside the prefetch worker, overlapping the
+        device execution of the previous chunk."""
         from ..dad.epoch_scan import stack_batches
 
-        n = 0
         buf = []
-        pairs = list(paired_epoch(self.clean_train, self.noisy_train, epoch))
-        for i, pair in enumerate(pairs):
+        n_pairs = min(len(self.clean_train), len(self.noisy_train))
+        for i, pair in enumerate(
+            paired_epoch(self.clean_train, self.noisy_train, epoch)
+        ):
             buf.append(pair)
-            if len(buf) == self.scan_chunk or i == len(pairs) - 1:
-                t_pad = max(
-                    b.feats.shape[1] for pair_ in buf for b in pair_
+            if len(buf) == self.scan_chunk or i == n_pairs - 1:
+                t_pad = max(b.feats.shape[1] for pair_ in buf for b in pair_)
+                yield (
+                    stack_batches([p[0] for p in buf], t_pad),
+                    stack_batches([p[1] for p in buf], t_pad),
                 )
-                clean_s = stack_batches([p[0] for p in buf], t_pad)
-                noisy_s = stack_batches([p[1] for p in buf], t_pad)
-                self._rng, key = jax.random.split(self._rng)
-                self.state, metrics, tracking = self._epoch_runner(
-                    self.state, clean_s, noisy_s, scalars, self.anchors, key
-                )
-                m = len(buf)
-                for k in (
-                    "total_loss",
-                    "supervised_ce_loss",
-                    "consistency_loss",
-                    "ecda_loss",
-                ):
-                    totals[k] += float(metrics[k]) * m
-                n += m
+                buf = []
+
+    def _run_epoch_scanned(self, epoch, scalars, totals) -> int:
+        """Chunked lax.scan epoch: one dispatch per scan_chunk batches."""
+        n = 0
+        chunks = prefetch(
+            self._iter_scanned_chunks(epoch),
+            depth=self.prefetch_depth,
+            to_device=True,
+        )
+        for clean_s, noisy_s in chunks:
+            self._rng, key = jax.random.split(self._rng)
+            self.state, metrics, tracking = self._epoch_runner(
+                self.state, clean_s, noisy_s, scalars, self.anchors, key
+            )
+            m = int(clean_s.feats.shape[0])
+            for k in (
+                "total_loss",
+                "supervised_ce_loss",
+                "consistency_loss",
+                "ecda_loss",
+            ):
+                totals[k] += float(metrics[k]) * m
+            n += m
+            if self.tracked_sample_indices and not self.is_warmup(epoch):
+                # materialize tracking arrays once per chunk, not per step
+                host = {key_: np.asarray(v) for key_, v in tracking.items()}
                 for s in range(m):
                     self._log_tracked(
-                        epoch,
-                        {key_: np.asarray(v[s]) for key_, v in tracking.items()},
+                        epoch, {key_: v[s] for key_, v in host.items()}
                     )
-                buf = []
         return n
 
     def _log_tracked(self, epoch, tracking):
@@ -331,7 +357,7 @@ class CrossDomainTrainer:
     # ------------------------------------------------------------------
     def _predict_all(self, it: PaddedBatchIterator, params):
         y_true, y_pred = [], []
-        for b in it:
+        for b in prefetch(it, depth=self.prefetch_depth):
             preds, _ = self.eval_step(params, jnp.asarray(b.feats), jnp.asarray(b.padding_mask))
             preds = np.asarray(preds)
             for i in range(len(preds)):
@@ -528,6 +554,7 @@ def run_cv(
     noisy_store: Optional[FeatureStore] = None,
     pretrain_params: Optional[dict] = None,
     scan_chunk: int = 0,
+    prefetch_depth: int = 2,
 ) -> Dict:
     """Full K-fold cross-validation sweep with an aggregate summary report.
 
@@ -551,6 +578,7 @@ def run_cv(
                 noisy_store=noisy_store,
                 pretrain_params=pretrain_params,
                 scan_chunk=scan_chunk,
+                prefetch_depth=prefetch_depth,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

@@ -20,6 +20,7 @@ import optax
 
 from ..configs import PretrainConfig
 from ..data.batching import Batch, PaddedBatchIterator
+from ..data.prefetch import prefetch
 from ..data.folds import corpus_fold_split
 from ..data.store import FeatureStore, load_feature_store
 from ..eval.metrics import (
@@ -156,7 +157,9 @@ def pretrain_fold(
         its["train"].set_epoch(epoch)
         total_loss, total_correct, total = 0.0, 0, 0
         n_batches = 0
-        for batch in its["train"]:
+        # worker-thread batch assembly overlaps device steps (the reference's
+        # DataLoader(num_workers=4), data.py:258-263)
+        for batch in prefetch(its["train"], depth=2):
             params, opt_state, loss, correct = train_step(params, opt_state, batch)
             total_loss += float(loss)
             total_correct += int(correct)

@@ -1,0 +1,115 @@
+"""Measures the DAD-stage epoch loop at IEMOCAP scale on the attached TPU:
+scan_chunk (dispatch batching, dad/epoch_scan.py) x prefetch_depth (async
+host assembly + device_put, data/prefetch.py).
+
+Round-1 review asked for exactly this (VERDICT items 6 and 8): the host-side
+chunk stacking cost vs dispatch savings on the REAL trainer path, not the
+EMODB toy note. Builds a synthetic corpus with IEMOCAP's published shape
+(5,531 clips, sessions 1..5, 768-d features, ~4.5 s clips at 50 Hz) and runs
+CrossDomainTrainer.train_epoch end-to-end (post-warmup: full DACP+ECDA+KL
+losses + tracked-sample logging), timing whole epochs.
+
+Usage:  python tools/bench_input_pipeline.py [--n-clips 5531] [--epochs 2]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    apply_overrides,
+    dad_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (
+    FeatureStore,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.dad_trainer import (
+    CrossDomainTrainer,
+)
+
+
+def make_store(n, dim, seed, mean_frames=225, max_frames=512):
+    rng = np.random.default_rng(seed)
+    # IEMOCAP clip lengths: ~1-30 s at 50 Hz; lognormal body around ~4.5 s.
+    # Clipped at max_frames (~7% of clips) so every batch hits ONE length
+    # bucket: each combo then needs a single remote compile, which is the
+    # only way this sweep finishes in finite time on the tunneled TPU
+    # (remote compiles cost minutes and the server-side cache is per-program).
+    sizes = np.clip(
+        rng.lognormal(np.log(mean_frames), 0.55, n).astype(np.int64), 50, max_frames
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    total = int(sizes.sum())
+    feats = rng.normal(size=(total, dim)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int64)
+    groups = (np.arange(n) % 5) + 1  # sessions 1..5
+    return FeatureStore(
+        feats=feats, sizes=sizes, offsets=offsets, labels=labels, groups=groups
+    )
+
+
+def run(n_clips, dim, epochs, combos):
+    print(f"store: {n_clips} clips x {dim}d", flush=True)
+    clean = make_store(n_clips, dim, seed=0)
+    noisy = make_store(n_clips, dim, seed=1)
+    results = []
+    for scan_chunk, depth in combos:
+        cfg = dad_preset("iemocap", input_dim=dim)
+        cfg = apply_overrides(cfg, {"EPOCHS": 50, "length_buckets": (512,)})
+        t0 = time.time()
+        tr = CrossDomainTrainer(
+            cfg,
+            fold=0,
+            clean_store=clean,
+            noisy_store=noisy,
+            pretrain_params=None,  # random init; numerics irrelevant here
+            scan_chunk=scan_chunk,
+            prefetch_depth=depth,
+        )
+        setup_s = time.time() - t0
+        # one throwaway epoch to absorb compiles (post-warmup epoch index so
+        # the full DACP+ECDA+KL path compiles)
+        tr.train_epoch(cfg.warmup_epochs + 1)
+        times = []
+        for e in range(epochs):
+            t0 = time.time()
+            tr.train_epoch(cfg.warmup_epochs + 2 + e)
+            times.append(time.time() - t0)
+        per_epoch = float(np.median(times))
+        n_batches = min(len(tr.clean_train), len(tr.noisy_train))
+        row = {
+            "scan_chunk": scan_chunk,
+            "prefetch_depth": depth,
+            "epoch_s": round(per_epoch, 2),
+            "ms_per_batch": round(1000 * per_epoch / n_batches, 1),
+            "setup_s": round(setup_s, 1),
+        }
+        results.append(row)
+        print(row, flush=True)
+    print("\n| scan_chunk | prefetch | epoch s | ms/batch |")
+    print("|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['scan_chunk']} | {r['prefetch_depth']} | "
+            f"{r['epoch_s']} | {r['ms_per_batch']} |"
+        )
+    return results
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-clips", type=int, default=5531)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument(
+        "--combos",
+        default="0:0,0:2,4:2,8:0,8:2,16:2",
+        help="comma list of scan_chunk:prefetch_depth",
+    )
+    args = ap.parse_args()
+    combos = [tuple(map(int, c.split(":"))) for c in args.combos.split(",")]
+    run(args.n_clips, args.dim, args.epochs, combos)
