@@ -75,6 +75,39 @@ def _cmd_pretrain(args):
     return 0
 
 
+def _cmd_d2v_pretrain(args):
+    from .configs import D2vPretrainConfig, EncoderConfig
+    from .train.d2v_pretrain import run_d2v_pretrain
+
+    enc_kw = {}
+    if args.encoder_json:
+        import json
+
+        with open(args.encoder_json, encoding="utf-8") as f:
+            enc_kw = json.load(f)
+    cfg = EncoderConfig(**enc_kw)
+    pcfg = D2vPretrainConfig(
+        batch_size=args.batch_size,
+        max_steps=args.steps,
+        warmup_steps=args.warmup_steps,
+        learning_rate=args.lr,
+        crop_size=args.crop_size,
+        mask_prob=args.mask_prob,
+        mask_length=args.mask_length,
+        clone_batch=args.clone_batch,
+        cls_loss=args.cls_loss,
+    )
+    weights = (
+        [float(w) for w in args.weights.split(",")] if args.weights else None
+    )
+    run_d2v_pretrain(
+        cfg, pcfg, args.manifests, args.save_dir,
+        weights=weights, init_checkpoint=args.init_checkpoint,
+        resume=args.resume,
+    )
+    return 0
+
+
 def _cmd_dad(args):
     from .configs import dad_preset
     from .train import CrossDomainTrainer, run_cv
@@ -92,11 +125,13 @@ def _cmd_dad(args):
         kw["batch_size"] = args.batch_size
     cfg = dad_preset(args.corpus, **kw)
     if args.fold == "all":
-        run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk)
+        run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk,
+               prefetch_depth=args.prefetch_depth)
     else:
         trainer = CrossDomainTrainer(
             cfg, fold=int(args.fold), experiment_name=args.name,
             scan_chunk=args.scan_chunk,
+            prefetch_depth=args.prefetch_depth,
         )
         trainer.train(resume=args.resume)
     return 0
@@ -243,6 +278,34 @@ def main(argv=None) -> int:
                    help="reference TrainingConfig variants (config.py:4-147)")
     p.set_defaults(func=_cmd_pretrain)
 
+    p = sub.add_parser(
+        "d2v-pretrain",
+        help="self-supervised data2vec-2.0 pretraining of the encoder "
+             "(the fairseq task the reference inherits, "
+             "upstream/tasks/audio_pretraining.py)",
+    )
+    p.add_argument("--manifests", nargs="+", required=True,
+                   help="manifest dirs (train.tsv); several mix like "
+                        "MultiCorpusDataset")
+    p.add_argument("--weights", default=None,
+                   help="comma-separated per-manifest sampling weights")
+    p.add_argument("--save-dir", required=True)
+    p.add_argument("--init-checkpoint", default=None,
+                   help="emotion2vec_base.pt to continue pretraining from")
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON of EncoderConfig overrides")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--warmup-steps", type=int, default=8_000)
+    p.add_argument("--lr", type=float, default=7.5e-4)
+    p.add_argument("--crop-size", type=int, default=160_000)
+    p.add_argument("--mask-prob", type=float, default=0.7)
+    p.add_argument("--mask-length", type=int, default=5)
+    p.add_argument("--clone-batch", type=int, default=8)
+    p.add_argument("--cls-loss", type=float, default=1.0)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(func=_cmd_d2v_pretrain)
+
     p = sub.add_parser("dad")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
     p.add_argument("--clean", required=True)
@@ -253,6 +316,8 @@ def main(argv=None) -> int:
     p.add_argument("--name", default=None)
     p.add_argument("--scan-chunk", type=int, default=8,
                    help="batches per lax.scan dispatch (0 = per-batch steps)")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="batches assembled ahead on a worker thread (0 = sync)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")

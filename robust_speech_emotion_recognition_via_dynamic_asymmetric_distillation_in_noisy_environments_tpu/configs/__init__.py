@@ -1,6 +1,8 @@
 from .base import (
     DACPConfig,
     DADConfig,
+    D2vDecoderConfig,
+    D2vPretrainConfig,
     ECDAConfig,
     EncoderConfig,
     AugmentConfig,
@@ -16,6 +18,8 @@ from .presets import (
 __all__ = [
     "DACPConfig",
     "DADConfig",
+    "D2vDecoderConfig",
+    "D2vPretrainConfig",
     "ECDAConfig",
     "EncoderConfig",
     "AugmentConfig",

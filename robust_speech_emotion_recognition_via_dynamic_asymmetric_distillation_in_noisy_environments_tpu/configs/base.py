@@ -78,10 +78,91 @@ class EncoderConfig:
     # stack at B=64, N=256 on v5e) — the kernel remains available for the
     # long-sequence regime where K/V streaming wins.
     use_flash_attention: bool = False
+    # optional reference branches, dead with the shipped config but ported
+    # for config-completeness (see PARITY.md dead-branch ledger):
+    # Swin-v2-style cosine attention (modules.py:274-300)
+    cosine_attention: bool = False
+    # alibi positional bias instead of pure conv positions (base.py:538-642;
+    # when on, the bias is ADDED alongside the conv positional encoder just
+    # like contextualized_features composes them)
+    use_alibi_encoder: bool = False
+    alibi_scale: float = 1.0
+    # stochastic per-block skip during training (modules.py:78-92,
+    # emotion2vec.py:136-141); inference is always deterministic
+    layerdrop: float = 0.0
+    prenet_layerdrop: float = 0.0
 
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
+
+
+@dataclass(frozen=True)
+class D2vDecoderConfig:
+    """Grouped-conv d2v decoder (reference upstream/models/modules.py:22-35)."""
+
+    decoder_dim: int = 384
+    decoder_groups: int = 16
+    decoder_kernel: int = 5
+    decoder_layers: int = 5
+    input_dropout: float = 0.1
+    decoder_residual: bool = True
+    projection_layers: int = 1
+    projection_ratio: float = 2.0
+
+
+@dataclass(frozen=True)
+class D2vPretrainConfig:
+    """Self-supervised data2vec-2.0 pretraining of the emotion2vec encoder.
+
+    The reference ships only the inference half (its Data2VecMultiModel
+    forward returns nothing unless features_only, upstream/models/
+    emotion2vec.py:97-175, and ``self.ema = None`` :65); masking and decoder
+    machinery live in base.py:74-519 and modules.py:126-181, and these knobs
+    mirror upstream/models/config.py:14-113 + base.py:26-67 defaults.
+    """
+
+    # masking (base.py:37-48)
+    mask_prob: float = 0.7
+    mask_length: int = 5  # 1 = MAE-style random token masking
+    inverse_mask: bool = False
+    mask_noise_std: float = 0.01
+    encoder_zero_mask: bool = True
+    clone_batch: int = 8  # d2v-2.0 multi-mask efficiency trick
+    # targets (config.py:42-54)
+    average_top_k_layers: int = 8
+    instance_norm_target_layer: bool = True
+    layer_norm_target_layer: bool = False
+    layer_norm_targets: bool = False
+    instance_norm_targets: bool = False
+    # losses (config.py:16-24, 92-94; cls = emotion2vec's utterance loss)
+    loss_beta: float = 0.0  # 0 = L2, else smooth-L1 beta
+    loss_scale: Optional[float] = None  # None = 1/sqrt(dim)
+    d2v_loss: float = 1.0
+    cls_loss: float = 1.0
+    # EMA teacher (config.py:56-71)
+    ema_decay: float = 0.999
+    ema_end_decay: float = 0.9999
+    ema_anneal_end_step: int = 75_000
+    ema_encoder_only: bool = True  # EMA only the shared transformer blocks
+    # collapse guards (config.py:77-83)
+    min_target_var: float = 0.1
+    min_pred_var: float = 0.01
+    decoder: D2vDecoderConfig = field(default_factory=D2vDecoderConfig)
+    # optimization
+    learning_rate: float = 7.5e-4
+    adam_betas: Tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 0.01
+    warmup_steps: int = 8_000
+    max_steps: int = 100_000
+    grad_clip: float = 4.0
+    batch_size: int = 16
+    # raw-wav dataset (task audio_pretraining.py:40-70)
+    sample_rate: int = 16_000
+    crop_size: int = 160_000  # 10 s static crop (max_sample_size analogue)
+    min_sample_size: int = 32_000
+    normalize: bool = True
+    random_seed: int = 42
 
 
 @dataclass(frozen=True)

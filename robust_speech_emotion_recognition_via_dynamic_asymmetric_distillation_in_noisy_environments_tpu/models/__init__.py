@@ -15,8 +15,22 @@ from .heads import (
     load_pretrain_into_ssrl,
 )
 from .layers import AltAttention, AltBlock, ConvFeatureExtractor, PositionalConv
+from .d2v_pretrain import (
+    D2vPretrainModel,
+    D2vTrainState,
+    Decoder1d,
+    encoder_params,
+    init_d2v_state,
+    make_d2v_train_step,
+)
 
 __all__ = [
+    "D2vPretrainModel",
+    "D2vTrainState",
+    "Decoder1d",
+    "encoder_params",
+    "init_d2v_state",
+    "make_d2v_train_step",
     "Emotion2vecEncoder",
     "extract_features",
     "init_encoder",

@@ -79,7 +79,7 @@ class FastLayerNorm(nn.Module):
 def make_norm(
     fast: bool,
     eps: float,
-    name: str,
+    name: Optional[str] = None,
     use_scale: bool = True,
     use_bias: bool = True,
     stat_dtype=jnp.float32,
@@ -225,7 +225,12 @@ class Mlp(nn.Module):
 
 
 class AltAttention(nn.Module):
-    """Multi-head self-attention with fused qkv (modules.py:252-322)."""
+    """Multi-head self-attention with fused qkv (modules.py:252-322).
+
+    ``cosine_attention=True`` uses L2-normalized q/k with a learned per-head
+    logit scale clamped at log(1/0.01) (modules.py:274-300) — the Swin-v2
+    style branch the reference carries behind ``cosine_attention`` (dead with
+    the shipped config, ported for config-completeness)."""
 
     dim: int
     num_heads: int
@@ -237,6 +242,7 @@ class AltAttention(nn.Module):
     # materialized (B,H,N,N) score traffic — the single largest step cost.
     # Deviation vs the f32 path is at the bf16 rounding floor.
     fast_softmax: bool = False
+    cosine_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -255,7 +261,7 @@ class AltAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
 
-        if self.use_flash and bias is None:
+        if self.use_flash and bias is None and not self.cosine_attention:
             from ..ops.attention import flash_attention
 
             out = flash_attention(
@@ -265,7 +271,25 @@ class AltAttention(nn.Module):
                 padding_mask=padding_mask,
             ).transpose(0, 2, 1, 3)
         else:
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
+            if self.cosine_attention:
+                logit_scale = self.param(
+                    "logit_scale",
+                    lambda _key, shape: jnp.log(10.0) * jnp.ones(shape, jnp.float32),
+                    (H, 1, 1),
+                )
+                qn = q / jnp.clip(
+                    jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None
+                )
+                kn = k / jnp.clip(
+                    jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12, None
+                )
+                attn = jnp.einsum("bnhd,bmhd->bhnm", qn, kn)
+                s = jnp.exp(
+                    jnp.clip(logit_scale, None, jnp.log(1.0 / 0.01))
+                ).astype(attn.dtype)
+                attn = attn * s[None]
+            else:
+                attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
             if bias is not None:
                 attn = attn + bias
             if padding_mask is not None:
@@ -290,7 +314,12 @@ class AltAttention(nn.Module):
 
 
 class AltBlock(nn.Module):
-    """Transformer block, post-LN variant (modules.py:232-249, else branch)."""
+    """Transformer block, post-LN variant (modules.py:232-249, else branch).
+
+    ``return_ffn_target=True`` additionally returns the MLP output before
+    post-dropout/norm2 — the per-layer target ``t`` the d2v teacher averages
+    (modules.py:245 with ``ffn_targets=True``, i.e. end_of_block_targets
+    False per upstream config.py:46)."""
 
     dim: int
     num_heads: int
@@ -306,6 +335,8 @@ class AltBlock(nn.Module):
     gelu_approximate: bool = False
     fast_ln: bool = False
     fast_softmax: bool = False
+    return_ffn_target: bool = False
+    cosine_attention: bool = False
 
     @nn.compact
     def __call__(
@@ -323,6 +354,7 @@ class AltBlock(nn.Module):
             dtype=self.dtype,
             use_flash=self.use_flash,
             fast_softmax=self.fast_softmax,
+            cosine_attention=self.cosine_attention,
             name="attn",
         )
         norm1 = make_norm(self.fast_ln, self.norm_eps, "norm1")
@@ -342,11 +374,50 @@ class AltBlock(nn.Module):
             # where `r = x = self.mlp(...)` drops the residual; unused by the
             # shipped post-LN config but kept faithful.
             x = x + attn(norm1(x).astype(self.dtype), padding_mask, bias, deterministic)
-            h = mlp(norm2(x).astype(self.dtype), deterministic)
-            x = h + post_drop(h, deterministic=deterministic)
+            t = mlp(norm2(x).astype(self.dtype), deterministic)
+            x = t + post_drop(t, deterministic=deterministic)
         else:
             x = x + attn(x, padding_mask, bias, deterministic)
             r = norm1(x).astype(self.dtype)
             t = mlp(r, deterministic)
             x = norm2(r + post_drop(t, deterministic=deterministic)).astype(self.dtype)
+        if self.return_ffn_target:
+            return x, t
         return x
+
+
+# ---------------------------------------------------------------------------
+# alibi positional bias (reference base.py:538-642; dead with the shipped
+# audio config, which uses conv positional encoding — ported behind
+# EncoderConfig.use_alibi_encoder for config-completeness)
+# ---------------------------------------------------------------------------
+def alibi_slopes(attention_heads: int) -> np.ndarray:
+    """Per-head geometric slopes (base.py:544-561, incl. the non-power-of-2
+    interleave workaround)."""
+    import math
+
+    def power_of_2(n):
+        start = 2 ** (-(2 ** -(math.log2(n) - 3)))
+        return [start * start**i for i in range(n)]
+
+    if math.log2(attention_heads).is_integer():
+        return np.array(power_of_2(attention_heads))
+    closest = 2 ** math.floor(math.log2(attention_heads))
+    extra = alibi_slopes(2 * closest)[0::2][: attention_heads - closest]
+    return np.concatenate([power_of_2(closest), extra])
+
+
+def alibi_bias(
+    time_steps: int,
+    attention_heads: int,
+    scale: float = 1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """(1, H, T, T) symmetric distance bias: slope_h * -|i - j| (base.py:
+    563-604 dims=1 branch), broadcastable over the batch. wav2vec2-style
+    non-autoregressive symmetric variant: 0 on the diagonal, linearly
+    decreasing off it."""
+    pos = np.arange(time_steps)
+    dist = -np.abs(pos[None, :] - pos[:, None]).astype(np.float64)
+    bias = alibi_slopes(attention_heads)[:, None, None] * dist[None]
+    return (scale * jnp.asarray(bias, dtype=dtype))[None]

@@ -1,0 +1,235 @@
+"""Self-supervised d2v pretraining driver — the counterpart of the fairseq
+``Emotion2vecPretrainingTask`` (reference upstream/tasks/
+audio_pretraining.py:28-263) plus the update loop fairseq-hydra runs around
+it.
+
+Dataset: manifest-driven raw wavs (``FileAudioDataset`` analogue,
+audio_pretraining.py:129-148) with FIXED random crops so every step compiles
+to one static XLA program; multiple manifests mix like
+``MultiCorpusDataset`` (audio_pretraining.py:150-199) via per-corpus sampling
+weights. Short clips are padded and masked. The loop runs the jitted d2v
+step (models/d2v_pretrain.py), monitors the variance collapse guards
+(reference config.py:77-83), checkpoints the full train state, and exports
+the encoder subtree in the layout the extraction encoder loads directly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..configs import D2vPretrainConfig, EncoderConfig
+from ..data.manifests import read_manifest
+from ..data.prefetch import prefetch
+from ..audio.wavio import read_wav
+from ..utils import dump_json, get_logger
+
+logger = get_logger(__name__)
+
+
+def _normalize_clip(wav: np.ndarray) -> np.ndarray:
+    """Whole-crop layer norm (task.cfg.normalize — the same preprocessing the
+    extraction CLI applies, emotion2vec_speech_features.py:69-70)."""
+    mu = wav.mean()
+    var = wav.var()
+    return (wav - mu) / np.sqrt(var + 1e-5)
+
+
+class WavCropDataset:
+    """Random fixed-size crops over one or more wav manifests.
+
+    ``weights`` repeats corpora relative to each other (MultiCorpusDataset's
+    sampling weights, quantized to whole repeats per epoch)."""
+
+    def __init__(
+        self,
+        manifest_dirs: Sequence[str],
+        pcfg: D2vPretrainConfig,
+        split: str = "train",
+        weights: Optional[Sequence[float]] = None,
+    ):
+        self.pcfg = pcfg
+        self.files: List[Tuple[str, int]] = []
+        base_lists = []
+        for d in manifest_dirs:
+            root, files = read_manifest(d, split)
+            kept = [
+                (os.path.join(root, rel), frames)
+                for rel, frames in files
+                if frames < 0 or frames >= pcfg.min_sample_size
+            ]
+            skipped = len(files) - len(kept)
+            if skipped:
+                logger.info(
+                    "%s: skipped %d clips under min_sample_size=%d",
+                    d, skipped, pcfg.min_sample_size,
+                )
+            base_lists.append(kept)
+        if weights is None:
+            weights = [1.0] * len(base_lists)
+        for lst, w in zip(base_lists, weights):
+            reps = max(1, int(round(w)))
+            for _ in range(reps):
+                self.files.extend(lst)
+        if not self.files:
+            raise ValueError("no usable clips in the given manifests")
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def num_batches(self, batch_size: int) -> int:
+        return len(self.files) // batch_size  # drop_last (fairseq default)
+
+    def batches(
+        self, epoch: int, batch_size: int
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yields (wav (B, crop) f32, padding_mask (B, crop) bool)."""
+        pcfg = self.pcfg
+        crop = pcfg.crop_size
+        rng = np.random.default_rng((pcfg.random_seed, epoch))
+        order = rng.permutation(len(self.files))
+        for start in range(0, self.num_batches(batch_size) * batch_size, batch_size):
+            idx = order[start : start + batch_size]
+            wav = np.zeros((batch_size, crop), np.float32)
+            pad = np.ones((batch_size, crop), bool)
+            for row, i in enumerate(idx):
+                path, _frames = self.files[int(i)]
+                audio, sr = read_wav(path)
+                if audio.ndim == 2:
+                    audio = audio.mean(axis=1)
+                if sr != pcfg.sample_rate:
+                    raise ValueError(
+                        f"{path}: sample rate {sr} != {pcfg.sample_rate} "
+                        "(run the audio format fixer first)"
+                    )
+                n = len(audio)
+                if n > crop:
+                    s = int(rng.integers(0, n - crop + 1))
+                    clip = audio[s : s + crop]
+                    n = crop
+                else:
+                    clip = audio
+                clip = clip.astype(np.float32)
+                if pcfg.normalize:
+                    clip = _normalize_clip(clip)
+                wav[row, :n] = clip
+                pad[row, :n] = False
+            yield wav, pad
+
+
+def run_d2v_pretrain(
+    cfg: EncoderConfig,
+    pcfg: D2vPretrainConfig,
+    manifest_dirs: Sequence[str],
+    save_dir: str,
+    weights: Optional[Sequence[float]] = None,
+    init_checkpoint: Optional[str] = None,
+    log_every: int = 50,
+    checkpoint_every: int = 1000,
+    resume: bool = False,
+) -> Dict:
+    """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
+
+    ``init_checkpoint``: optional ``emotion2vec_base.pt`` (or flax msgpack)
+    to continue pretraining from."""
+    from ..models.d2v_pretrain import (
+        D2vTrainState,
+        encoder_params,
+        init_d2v_state,
+        make_d2v_train_step,
+    )
+    from .checkpointing import restore_train_state, save_train_state
+
+    os.makedirs(save_dir, exist_ok=True)
+    model, tx, state = init_d2v_state(
+        cfg, pcfg, jax.random.PRNGKey(pcfg.random_seed),
+        example_len=pcfg.crop_size,
+    )
+    if init_checkpoint:
+        from ..models.convert import load_emotion2vec_checkpoint
+        from ..models.d2v_pretrain import init_ema_blocks
+
+        enc = load_emotion2vec_checkpoint(init_checkpoint, cfg)
+        merged = dict(state.params["params"])
+        merged.update(enc["params"])
+        params = {"params": merged}
+        state = state._replace(
+            params=params, ema_blocks=init_ema_blocks(params, cfg, pcfg)
+        )
+        logger.info("initialized encoder from %s", init_checkpoint)
+
+    ckpt_path = os.path.join(save_dir, "d2v_last_state.msgpack")
+    if resume and os.path.exists(ckpt_path):
+        state, _meta = restore_train_state(ckpt_path, state)
+        logger.info("resumed at step %d", int(state.step))
+
+    step_fn = make_d2v_train_step(model, tx)
+    ds = WavCropDataset(manifest_dirs, pcfg, weights=weights)
+    logger.info(
+        "d2v pretrain: %d clips, %d steps/epoch, %d total steps",
+        len(ds), ds.num_batches(pcfg.batch_size), pcfg.max_steps,
+    )
+    rng = jax.random.PRNGKey(pcfg.random_seed + 1)
+    history = []
+    last = {}
+    t0 = time.time()
+    epoch = 0
+    done = int(state.step) >= pcfg.max_steps
+    while not done:
+        for wav, pad in prefetch(
+            ds.batches(epoch, pcfg.batch_size), depth=2, to_device=True
+        ):
+            rng, key = jax.random.split(rng)
+            state, metrics = step_fn(state, wav, pad, key)
+            step = int(state.step)
+            if step % log_every == 0 or step == 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["step"] = step
+                last["wall_s"] = round(time.time() - t0, 1)
+                history.append(last)
+                logger.info(
+                    "step %d | loss %.4f (d2v %.4f cls %.4f) | tvar %.3f "
+                    "pvar %.3f | decay %.5f",
+                    step, last["loss"], last["d2v_loss"], last["cls_loss"],
+                    last["target_var"], last["pred_var"], last["ema_decay"],
+                )
+                # variance collapse guards (reference config.py:77-83)
+                if step > pcfg.warmup_steps:
+                    if last["target_var"] < pcfg.min_target_var:
+                        logger.error("target variance collapsed (%.4f < %.2f)",
+                                     last["target_var"], pcfg.min_target_var)
+                        done = True
+                    if last["pred_var"] < pcfg.min_pred_var:
+                        logger.error("prediction variance collapsed (%.4f < %.2f)",
+                                     last["pred_var"], pcfg.min_pred_var)
+                        done = True
+            if checkpoint_every and step % checkpoint_every == 0:
+                save_train_state(ckpt_path, state, metadata={"step": step})
+            if step >= pcfg.max_steps or done:
+                done = True
+                break
+        epoch += 1
+
+    save_train_state(ckpt_path, state, metadata={"step": int(state.step)})
+    enc_path = os.path.join(save_dir, "encoder_params.msgpack")
+    save_train_state(enc_path, encoder_params(state.params))
+    dump_json(history, os.path.join(save_dir, "d2v_training_history.json"))
+    logger.info("saved %s (+ encoder subtree %s)", ckpt_path, enc_path)
+    return last
+
+
+def load_pretrained_encoder(save_dir: str, cfg: EncoderConfig):
+    """Loads the exported encoder subtree back as Emotion2vecEncoder params
+    (restored against a freshly-initialized template for shape checking)."""
+    from ..models.emotion2vec import init_encoder
+    from .checkpointing import restore_train_state
+
+    _model, template = init_encoder(cfg, jax.random.PRNGKey(0))
+    params, _ = restore_train_state(
+        os.path.join(save_dir, "encoder_params.msgpack"), template
+    )
+    return params

@@ -1,0 +1,409 @@
+"""d2v self-supervised pretraining tests: masking machinery vs torch oracles,
+Decoder1d parity, target normalization, EMA annealing, train-step smoke, and
+encoder param-tree compatibility with the extraction encoder."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    D2vDecoderConfig,
+    D2vPretrainConfig,
+    EncoderConfig,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+    d2v_masking as dm,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_pretrain import (
+    Decoder1d,
+    annealed_decay,
+    compute_var,
+    d2v_loss,
+    encoder_params,
+    init_d2v_state,
+    make_d2v_train_step,
+    make_targets,
+    merge_teacher_params,
+)
+
+TINY_ENC = dict(
+    embed_dim=16,
+    depth=3,
+    num_heads=2,
+    prenet_depth=1,
+    conv_feature_layers=((8, 4, 2), (8, 3, 2)),
+    conv_pos_depth=2,
+    conv_pos_width=10,
+    conv_pos_groups=2,
+    dtype="float32",
+)
+TINY_DEC = D2vDecoderConfig(
+    decoder_dim=8, decoder_groups=2, decoder_kernel=3, decoder_layers=2
+)
+
+
+def tiny_pcfg(**kw):
+    base = dict(
+        clone_batch=2,
+        average_top_k_layers=2,
+        mask_length=3,
+        decoder=TINY_DEC,
+        warmup_steps=2,
+        max_steps=50,
+        batch_size=4,
+        crop_size=64,
+    )
+    base.update(kw)
+    return D2vPretrainConfig(**base)
+
+
+# ---------------------------------------------------------------------------
+# masking
+# ---------------------------------------------------------------------------
+def test_random_mask_exact_count():
+    mask, n = dm.sample_random_mask(jax.random.PRNGKey(0), 8, 20, 0.6)
+    assert n == 20 - int(20 * 0.4)
+    np.testing.assert_array_equal(np.asarray(mask.sum(axis=1)), n)
+
+
+def test_span_mask_exact_count_and_spans():
+    mask, n = dm.sample_span_mask(jax.random.PRNGKey(1), 16, 40, 0.5, 4)
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(m.sum(axis=1), n)
+    # every row must contain at least one full span of mask_length
+    for row in m:
+        runs = np.diff(np.flatnonzero(np.diff(np.r_[0, row.view(np.int8), 0])))
+        assert runs[::2].max() >= 4
+
+
+def test_span_mask_inverse():
+    mask, n = dm.sample_span_mask(
+        jax.random.PRNGKey(2), 4, 30, 0.7, 5, inverse_mask=True
+    )
+    m = np.asarray(mask)
+    np.testing.assert_array_equal(m.sum(axis=1), n)
+    # inverse masking keeps (1-p) spans, i.e. the UNMASKED region is spanny
+    keep = ~m
+    for row in keep:
+        runs = np.diff(np.flatnonzero(np.diff(np.r_[0, row.view(np.int8), 0])))
+        assert runs[::2].max() >= 5
+
+
+def test_mask_info_matches_torch_mae_semantics(rng):
+    """make_mask_info + gathers reproduce the reference MAE bookkeeping
+    (base.py:412-440, 486-535): torch gathers with argsort'd uint8 masks."""
+    B, T, D = 3, 12, 5
+    mask, n = dm.sample_random_mask(jax.random.PRNGKey(3), B, T, 0.5)
+    info = dm.make_mask_info(mask, n)
+    x = rng.normal(size=(B, T, D)).astype(np.float32)
+
+    tm = torch.from_numpy(np.asarray(mask)).to(torch.uint8)
+    ids_shuffle = torch.argsort(tm, dim=1, stable=True)
+    ids_restore = torch.argsort(ids_shuffle, dim=1)
+    len_keep = T - n
+    t_keep = ids_shuffle[:, :len_keep]
+    x_unmasked = torch.gather(
+        torch.from_numpy(x), 1, t_keep.unsqueeze(-1).expand(-1, -1, D)
+    )
+    np.testing.assert_array_equal(np.asarray(info.ids_keep), t_keep.numpy())
+    np.testing.assert_array_equal(np.asarray(info.ids_restore), ids_restore.numpy())
+    got_unmasked = dm.gather_unmasked(jnp.asarray(x), info)
+    np.testing.assert_allclose(np.asarray(got_unmasked), x_unmasked.numpy())
+    # kept tokens stay in temporal order
+    assert np.all(np.diff(np.asarray(info.ids_keep), axis=1) > 0)
+
+
+def test_restore_with_zero_tokens_roundtrip(rng):
+    B, T, D = 2, 10, 4
+    mask, n = dm.sample_random_mask(jax.random.PRNGKey(4), B, T, 0.3)
+    info = dm.make_mask_info(mask, n)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    kept = dm.gather_unmasked(x, info)
+    restored = dm.restore_with_mask_tokens(kept, info, 0.0, jax.random.PRNGKey(0))
+    want = np.asarray(x) * (1 - np.asarray(mask)[..., None])
+    np.testing.assert_allclose(np.asarray(restored), want, atol=1e-6)
+
+
+def test_apply_mask_zero_and_noise(rng):
+    B, T, D = 2, 8, 3
+    mask, n = dm.sample_random_mask(jax.random.PRNGKey(5), B, T, 0.5)
+    info = dm.make_mask_info(mask, n)
+    x = jnp.asarray(rng.normal(size=(B, T, D)).astype(np.float32))
+    z = dm.apply_mask(x, info, encoder_zero_mask=True)
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(x) * (1 - np.asarray(mask)[..., None])
+    )
+    nz = dm.apply_mask(
+        x, info, encoder_zero_mask=False, mask_noise_std=0.01,
+        noise_key=jax.random.PRNGKey(6),
+    )
+    m = np.asarray(mask)[..., None].astype(bool)
+    np.testing.assert_allclose(np.asarray(nz)[~m.repeat(D, -1)],
+                               np.asarray(x)[~m.repeat(D, -1)])
+    assert np.abs(np.asarray(nz)[m.repeat(D, -1)]).max() < 0.1
+
+
+# ---------------------------------------------------------------------------
+# decoder parity vs torch
+# ---------------------------------------------------------------------------
+class TorchDecoder1d(torch.nn.Module):
+    """Reference modules.py:126-181 rebuilt in torch as an oracle."""
+
+    def __init__(self, dc, input_dim):
+        super().__init__()
+        self.dc = dc
+        self.blocks = torch.nn.ModuleList()
+        for i in range(dc.decoder_layers):
+            in_dim = input_dim if i == 0 else dc.decoder_dim
+            self.blocks.append(
+                torch.nn.Conv1d(
+                    in_dim, dc.decoder_dim, dc.decoder_kernel,
+                    padding=dc.decoder_kernel // 2, groups=dc.decoder_groups,
+                )
+            )
+        self.proj = torch.nn.Linear(dc.decoder_dim, input_dim)
+
+    def forward(self, x):  # x (B, T, C)
+        x = x.transpose(1, 2)
+        residual = x
+        for blk in self.blocks:
+            x = blk(x)
+            if self.dc.decoder_kernel % 2 == 0:
+                x = x[..., :-1]
+            x = F.layer_norm(x.transpose(1, 2), (x.shape[1],)).transpose(1, 2)
+            x = F.gelu(x)
+            if self.dc.decoder_residual and residual.size(1) == x.size(1):
+                x = x + residual
+            residual = x
+        x = x.transpose(1, 2)
+        return self.proj(x)
+
+
+def test_decoder1d_matches_torch(rng):
+    D_in = 8
+    dec = Decoder1d(dcfg=TINY_DEC, input_dim=D_in, dtype=jnp.float32)
+    x = rng.normal(size=(2, 11, D_in)).astype(np.float32)
+    params = dec.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    tdec = TorchDecoder1d(TINY_DEC, D_in)
+    p = params["params"]
+    with torch.no_grad():
+        for i in range(TINY_DEC.decoder_layers):
+            k = np.asarray(p[f"conv_{i}"]["kernel"])  # (k, in/groups, out)
+            tdec.blocks[i].weight.copy_(torch.from_numpy(k.transpose(2, 1, 0)))
+            tdec.blocks[i].bias.copy_(torch.from_numpy(np.asarray(p[f"conv_{i}"]["bias"])))
+        tdec.proj.weight.copy_(
+            torch.from_numpy(np.asarray(p["proj_out"]["kernel"]).T)
+        )
+        tdec.proj.bias.copy_(torch.from_numpy(np.asarray(p["proj_out"]["bias"])))
+        want = tdec(torch.from_numpy(x)).numpy()
+    got = np.asarray(dec.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# targets / losses / ema
+# ---------------------------------------------------------------------------
+def test_make_targets_instance_norm_matches_torch(rng):
+    pcfg = tiny_pcfg(average_top_k_layers=2, instance_norm_target_layer=True)
+    layers = [rng.normal(size=(2, 7, 6)).astype(np.float32) for _ in range(3)]
+    got = np.asarray(make_targets([jnp.asarray(l) for l in layers], pcfg))
+    tl = [
+        F.instance_norm(torch.from_numpy(l).transpose(1, 2)).transpose(1, 2)
+        for l in layers[-2:]
+    ]
+    want = (sum(tl) / 2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_make_targets_layer_norm_variants(rng):
+    pcfg = tiny_pcfg(
+        average_top_k_layers=2,
+        instance_norm_target_layer=False,
+        layer_norm_target_layer=True,
+        layer_norm_targets=True,
+    )
+    layers = [rng.normal(size=(2, 5, 6)).astype(np.float32) for _ in range(2)]
+    got = np.asarray(make_targets([jnp.asarray(l) for l in layers], pcfg))
+    tl = [F.layer_norm(torch.from_numpy(l), (6,)) for l in layers]
+    want = F.layer_norm(sum(tl) / 2, (6,)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_d2v_loss_l2_and_smooth_l1(rng):
+    pred = rng.normal(size=(3, 4, 6)).astype(np.float32)
+    tgt = rng.normal(size=(3, 4, 6)).astype(np.float32)
+    w = np.ones((3, 4), np.float32)
+    got = float(d2v_loss(jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(w), 0.0, None))
+    want = float(
+        (F.mse_loss(torch.from_numpy(pred), torch.from_numpy(tgt),
+                    reduction="none").sum(-1) / np.sqrt(6)).mean()
+    )
+    assert abs(got - want) < 1e-5
+    got_b = float(d2v_loss(jnp.asarray(pred), jnp.asarray(tgt), jnp.asarray(w), 0.5, 2.0))
+    want_b = float(
+        (F.smooth_l1_loss(torch.from_numpy(pred), torch.from_numpy(tgt),
+                          reduction="none", beta=0.5).sum(-1) * 2.0).mean()
+    )
+    assert abs(got_b - want_b) < 1e-5
+
+
+def test_annealed_decay_matches_reference():
+    # reference base.py:477-482 get_annealed_rate
+    def oracle(start, end, curr, total):
+        if curr >= total:
+            return end
+        r = end - start
+        return end - r * (1 - curr / total)
+
+    pcfg = tiny_pcfg(ema_decay=0.999, ema_end_decay=0.9999,
+                     ema_anneal_end_step=100)
+    for step in [0, 1, 50, 99, 100, 500]:
+        got = float(annealed_decay(pcfg, jnp.asarray(step)))
+        assert abs(got - oracle(0.999, 0.9999, step, 100)) < 1e-7
+
+
+# ---------------------------------------------------------------------------
+# train step + encoder compatibility
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_state():
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg()
+    model, tx, state = init_d2v_state(cfg, pcfg, jax.random.PRNGKey(0),
+                                      example_len=64)
+    return cfg, pcfg, model, tx, state
+
+
+def test_train_step_learns_and_updates_ema(tiny_state, rng):
+    cfg, pcfg, model, tx, state = tiny_state
+    step = make_d2v_train_step(model, tx)
+    wav = rng.normal(size=(4, 64)).astype(np.float32)
+    pad = np.zeros((4, 64), bool)
+    pad[3, 48:] = True
+    ema0 = jax.tree.map(np.asarray, state.ema_blocks)
+    losses = []
+    for i in range(25):
+        state, m = step(state, wav, pad, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 25
+    assert float(m["target_var"]) > 0.05 and float(m["pred_var"]) > 0.0
+    # EMA must have moved but slowly
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.ema_blocks, ema0,
+    )
+    flat = jax.tree.leaves(moved)
+    assert max(flat) > 0 and max(flat) < 0.5
+
+
+def test_teacher_params_merge(tiny_state):
+    cfg, pcfg, model, tx, state = tiny_state
+    tp = merge_teacher_params(state.params, state.ema_blocks)
+    assert set(tp["params"].keys()) == set(state.params["params"].keys())
+    # non-EMA'd modules must be the student's own arrays
+    assert tp["params"]["proj"] is state.params["params"]["proj"]
+
+
+def test_encoder_params_load_into_extraction_encoder(tiny_state, rng):
+    """The pretrained param tree (minus decoder) IS an Emotion2vecEncoder
+    checkpoint — and produces the same features as the d2v model's unmasked
+    forward."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+
+    cfg, pcfg, model, tx, state = tiny_state
+    wav = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
+    pad = jnp.zeros((2, 64), bool)
+    enc = Emotion2vecEncoder(cfg)
+    ep = encoder_params(state.params)
+    assert "decoder" not in ep["params"]
+    feats, fm = enc.apply(ep, wav, pad)
+    x_d2v, _pred = model.apply(state.params, wav, pad)
+    np.testing.assert_allclose(
+        np.asarray(feats), np.asarray(x_d2v), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_compute_var_sane(rng):
+    y = rng.normal(size=(4, 6, 8)).astype(np.float32)
+    v = float(compute_var(jnp.asarray(y)))
+    assert 0.8 < v < 1.2
+
+
+# ---------------------------------------------------------------------------
+# dataset + driver
+# ---------------------------------------------------------------------------
+def _write_wav_corpus(tmp_path, lens=(4000, 4200, 5000, 6000, 7000, 9000),
+                      sr=16000):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+
+    root = os.path.join(str(tmp_path), "wavs")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i, ln in enumerate(lens):
+        write_wav(os.path.join(root, f"clip{i}.wav"),
+                  rng.normal(size=ln) * 0.1, sr)
+        rows.append((f"clip{i}.wav", ln))
+    with open(os.path.join(str(tmp_path), "train.tsv"), "w") as f:
+        print(root, file=f)
+        for rel, ln in rows:
+            print(f"{rel}\t{ln}", file=f)
+    return str(tmp_path)
+
+
+def test_wav_crop_dataset(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        WavCropDataset,
+    )
+
+    d = _write_wav_corpus(tmp_path)
+    pcfg = tiny_pcfg(crop_size=6000, min_sample_size=4500, batch_size=2)
+    ds = WavCropDataset([d], pcfg)
+    assert len(ds) == 4  # the 4000/4200-sample clips are filtered
+    batches = list(ds.batches(0, 2))
+    assert batches, "expected at least one batch"
+    for wav, pad in batches:
+        assert wav.shape == (2, 6000) and pad.shape == (2, 6000)
+        valid = ~pad
+        # normalized crops: ~zero mean/unit var over valid samples
+        for r in range(2):
+            v = wav[r][valid[r]]
+            assert abs(v.mean()) < 0.05 and abs(v.std() - 1) < 0.05
+    # weights repeat corpora
+    ds2 = WavCropDataset([d, d], pcfg, weights=[2, 1])
+    assert len(ds2) == 3 * len(ds)
+
+
+def test_run_d2v_pretrain_smoke(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        load_pretrained_encoder,
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(
+        crop_size=1500, min_sample_size=1000, batch_size=2, max_steps=4,
+        warmup_steps=1, clone_batch=2,
+    )
+    save = os.path.join(str(tmp_path), "out")
+    last = run_d2v_pretrain(cfg, pcfg, [d], save, log_every=2,
+                            checkpoint_every=2)
+    assert last["step"] >= 4 and np.isfinite(last["loss"])
+    assert os.path.exists(os.path.join(save, "d2v_last_state.msgpack"))
+    assert os.path.exists(os.path.join(save, "d2v_training_history.json"))
+    params = load_pretrained_encoder(save, cfg)
+    assert "block_0" in params["params"]
