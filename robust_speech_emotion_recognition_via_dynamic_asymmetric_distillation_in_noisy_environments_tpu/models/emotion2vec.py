@@ -26,6 +26,7 @@ from .layers import (
     AltBlock,
     ConvFeatureExtractor,
     PositionalConv,
+    alibi_bias,
     convert_padding_mask,
     make_norm,
 )
@@ -91,47 +92,51 @@ class Emotion2vecEncoder(nn.Module):
             name="pos_conv",
         )(x, frame_mask)
 
+        # optional alibi positional bias (base.py:538-642; off in the
+        # shipped config, which relies on the conv positional encoder)
+        bias = None
+        if cfg.use_alibi_encoder:
+            bias = alibi_bias(
+                x.shape[1], cfg.num_heads, cfg.alibi_scale, dtype
+            )
+
+        def run_block(x, name, ld_rate):
+            blk = AltBlock(
+                dim=cfg.embed_dim,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                drop=cfg.encoder_dropout,
+                attn_drop=cfg.attention_dropout,
+                mlp_drop=cfg.activation_dropout,
+                post_mlp_drop=cfg.post_mlp_drop,
+                norm_eps=cfg.norm_eps,
+                layer_norm_first=cfg.layer_norm_first,
+                dtype=dtype,
+                use_flash=cfg.use_flash_attention,
+                gelu_approximate=cfg.gelu_approximate,
+                fast_ln=cfg.fast_ln,
+                fast_softmax=cfg.fast_softmax,
+                cosine_attention=cfg.cosine_attention,
+                name=name,
+            )
+            out = blk(x, frame_mask, bias, deterministic=deterministic)
+            if deterministic or ld_rate <= 0:
+                return out
+            # layerdrop (modules.py:78-92): stochastic residual-skip of the
+            # whole block. Under jit both branches are computed (static
+            # graph) — here it is a regularizer, not a compute saver.
+            keep = jax.random.bernoulli(self.make_rng("dropout"), 1.0 - ld_rate)
+            return jnp.where(keep, out, x)
+
         # prenet context encoder: post-LN => LN applied BEFORE the blocks
         # (modules.py:72-75), then prenet_depth blocks
         x = make_norm(cfg.fast_ln, cfg.norm_eps, "prenet_ln")(x).astype(dtype)
         for i in range(cfg.prenet_depth):
-            x = AltBlock(
-                dim=cfg.embed_dim,
-                num_heads=cfg.num_heads,
-                mlp_ratio=cfg.mlp_ratio,
-                drop=cfg.encoder_dropout,
-                attn_drop=cfg.attention_dropout,
-                mlp_drop=cfg.activation_dropout,
-                post_mlp_drop=cfg.post_mlp_drop,
-                norm_eps=cfg.norm_eps,
-                layer_norm_first=cfg.layer_norm_first,
-                dtype=dtype,
-                use_flash=cfg.use_flash_attention,
-                gelu_approximate=cfg.gelu_approximate,
-                fast_ln=cfg.fast_ln,
-                fast_softmax=cfg.fast_softmax,
-                name=f"prenet_block_{i}",
-            )(x, frame_mask, deterministic=deterministic)
+            x = run_block(x, f"prenet_block_{i}", cfg.prenet_layerdrop)
 
         # main transformer (emotion2vec.py:136-158)
         for i in range(cfg.depth):
-            x = AltBlock(
-                dim=cfg.embed_dim,
-                num_heads=cfg.num_heads,
-                mlp_ratio=cfg.mlp_ratio,
-                drop=cfg.encoder_dropout,
-                attn_drop=cfg.attention_dropout,
-                mlp_drop=cfg.activation_dropout,
-                post_mlp_drop=cfg.post_mlp_drop,
-                norm_eps=cfg.norm_eps,
-                layer_norm_first=cfg.layer_norm_first,
-                dtype=dtype,
-                use_flash=cfg.use_flash_attention,
-                gelu_approximate=cfg.gelu_approximate,
-                fast_ln=cfg.fast_ln,
-                fast_softmax=cfg.fast_softmax,
-                name=f"block_{i}",
-            )(x, frame_mask, deterministic=deterministic)
+            x = run_block(x, f"block_{i}", cfg.layerdrop)
 
         # layer_norm_first=False => no final norm (emotion2vec.py:77-79)
         return x, frame_mask
