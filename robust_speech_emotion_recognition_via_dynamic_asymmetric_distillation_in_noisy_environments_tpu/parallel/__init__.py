@@ -13,6 +13,10 @@ from .fused import (
     init_fused,
     make_fused_extract_train_step,
 )
+from .d2v_sharded import (
+    make_sharded_d2v_step,
+    place_d2v_state,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +28,6 @@ __all__ = [
     "FusedConfig",
     "init_fused",
     "make_fused_extract_train_step",
+    "make_sharded_d2v_step",
+    "place_d2v_state",
 ]

@@ -334,6 +334,39 @@ def test_encoder_params_load_into_extraction_encoder(tiny_state, rng):
     )
 
 
+def test_sharded_d2v_step_matches_single(rng):
+    """dp-sharded pretraining step == single-device step on the same global
+    batch (8 virtual CPU devices; XLA inserts the gradient all-reduce)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+        make_sharded_d2v_step,
+        place_d2v_state,
+    )
+
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(batch_size=8)
+    model, tx, state = init_d2v_state(cfg, pcfg, jax.random.PRNGKey(0),
+                                      example_len=64)
+    wav = rng.normal(size=(8, 64)).astype(np.float32)
+    pad = np.zeros((8, 64), bool)
+    pad[5, 40:] = True
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_d2v_train_step(model, tx)
+    s1, m1 = step1(state, wav, pad, key)
+
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    step8 = make_sharded_d2v_step(model, tx, mesh)
+    with mesh:
+        s8, m8 = step8(place_d2v_state(state, mesh), wav, pad, key)
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.params, s8.params,
+    )
+    assert max(jax.tree.leaves(d)) < 1e-4
+
+
 def test_compute_var_sane(rng):
     y = rng.normal(size=(4, 6, 8)).astype(np.float32)
     v = float(compute_var(jnp.asarray(y)))
