@@ -126,12 +126,14 @@ def _cmd_dad(args):
     cfg = dad_preset(args.corpus, **kw)
     if args.fold == "all":
         run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk,
-               prefetch_depth=args.prefetch_depth)
+               prefetch_depth=args.prefetch_depth,
+               transfer_dtype=args.transfer_dtype)
     else:
         trainer = CrossDomainTrainer(
             cfg, fold=int(args.fold), experiment_name=args.name,
             scan_chunk=args.scan_chunk,
             prefetch_depth=args.prefetch_depth,
+            transfer_dtype=args.transfer_dtype,
         )
         trainer.train(resume=args.resume)
     return 0
@@ -318,6 +320,9 @@ def main(argv=None) -> int:
                    help="batches per lax.scan dispatch (0 = per-batch steps)")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="batches assembled ahead on a worker thread (0 = sync)")
+    p.add_argument("--transfer-dtype", default=None,
+                   help="ship f32 features as this dtype + upcast on device "
+                        "(e.g. bfloat16; halves H2D bytes, quantizes inputs)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")

@@ -31,6 +31,7 @@ def prefetch(
     iterable: Iterable[T],
     depth: int = 2,
     to_device: bool = False,
+    transfer_fp32_as: Optional[str] = None,
 ) -> Iterator[T]:
     """Yields items from ``iterable``, produced ``depth`` items ahead on a
     background thread.
@@ -40,18 +41,40 @@ def prefetch(
     device compute of batch N (JAX transfers are async; issuing them off the
     consumer thread keeps the consumer free to dispatch the next step).
     ``depth <= 0`` degrades to plain synchronous iteration.
+
+    ``transfer_fp32_as`` (e.g. ``"bfloat16"``, implies to_device): float32
+    leaves are cast host-side to the narrower dtype before the copy and cast
+    back to float32 ON DEVICE after — halving host→device bytes, which
+    dominates feature-level training when the device hangs off a thin link
+    (measured ~60 MB/s on this tunneled attach; PERFORMANCE.md). Opt-in: the
+    round-trip quantizes inputs to bf16 precision.
     """
     if depth <= 0:
         yield from iterable
         return
 
-    if to_device:
+    if to_device or transfer_fp32_as:
         import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        narrow = jnp.dtype(transfer_fp32_as) if transfer_fp32_as else None
+
+        def _put(x):
+            if (
+                narrow is not None
+                and getattr(x, "dtype", None) == np.float32
+            ):
+                y = jax.device_put(np.asarray(x).astype(narrow))
+                return y.astype(jnp.float32)  # device-side upcast, async
+            return jax.device_put(x)
+
+        to_device = True
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()
 
-    def _put(item) -> bool:
+    def _enqueue(item) -> bool:
         # bounded put that gives up if the consumer went away
         while not stop.is_set():
             try:
@@ -65,13 +88,13 @@ def prefetch(
         try:
             for item in iterable:
                 if to_device:
-                    item = jax.tree_util.tree_map(jax.device_put, item)
-                if not _put(item):
+                    item = jax.tree_util.tree_map(_put, item)
+                if not _enqueue(item):
                     return
         except BaseException as e:  # propagate to the consumer
-            _put(_WorkerError(e))
+            _enqueue(_WorkerError(e))
             return
-        _put(_END)
+        _enqueue(_END)
 
     t = threading.Thread(target=_worker, daemon=True, name="dadtpu-prefetch")
     t.start()

@@ -107,17 +107,23 @@ class CrossDomainTrainer:
         pretrain_params: Optional[dict] = None,
         scan_chunk: int = 0,
         prefetch_depth: int = 2,
+        transfer_dtype: Optional[str] = None,
     ):
         """``scan_chunk > 0`` runs the epoch as lax.scan over chunks of that
         many batches (one device dispatch per chunk instead of per batch) —
         numerically identical to per-batch stepping; see dad/epoch_scan.py.
 
         ``prefetch_depth > 0`` assembles + device_puts batch N+1 on a worker
-        thread while step N runs (data/prefetch.py); 0 disables."""
+        thread while step N runs (data/prefetch.py); 0 disables.
+
+        ``transfer_dtype`` (e.g. "bfloat16"): ship float32 features to the
+        device in this dtype and upcast on device — halves H2D bytes at the
+        cost of bf16-quantized inputs (opt-in; see data/prefetch.py)."""
         self.cfg = cfg
         self.fold = fold
         self.scan_chunk = scan_chunk
         self.prefetch_depth = prefetch_depth
+        self.transfer_dtype = transfer_dtype
         self.experiment_name = experiment_name
         self.noise_info = extract_noise_info(cfg.noisy_data_dir)
         self.results_dir = self._setup_results_directory()
@@ -259,6 +265,7 @@ class CrossDomainTrainer:
                 paired_epoch(self.clean_train, self.noisy_train, epoch),
                 depth=self.prefetch_depth,
                 to_device=True,
+                transfer_fp32_as=self.transfer_dtype,
             )
             for clean_b, noisy_b in pairs:
                 self._rng, key = jax.random.split(self._rng)
@@ -311,6 +318,7 @@ class CrossDomainTrainer:
             self._iter_scanned_chunks(epoch),
             depth=self.prefetch_depth,
             to_device=True,
+            transfer_fp32_as=self.transfer_dtype,
         )
         for clean_s, noisy_s in chunks:
             self._rng, key = jax.random.split(self._rng)
@@ -555,6 +563,7 @@ def run_cv(
     pretrain_params: Optional[dict] = None,
     scan_chunk: int = 0,
     prefetch_depth: int = 2,
+    transfer_dtype: Optional[str] = None,
 ) -> Dict:
     """Full K-fold cross-validation sweep with an aggregate summary report.
 
@@ -579,6 +588,7 @@ def run_cv(
                 pretrain_params=pretrain_params,
                 scan_chunk=scan_chunk,
                 prefetch_depth=prefetch_depth,
+                transfer_dtype=transfer_dtype,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

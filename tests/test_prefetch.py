@@ -78,6 +78,26 @@ def test_prefetch_to_device_places_arrays():
     np.testing.assert_array_equal(np.asarray(got.row_valid), batch.row_valid)
 
 
+def test_prefetch_transfer_fp32_as_bf16_roundtrip():
+    batch = Batch(
+        feats=np.linspace(-2, 2, 24).reshape(2, 3, 4).astype(np.float32),
+        padding_mask=np.zeros((2, 3), bool),
+        labels=np.zeros((2,), np.int32),
+        ids=np.arange(2, dtype=np.int32),
+        row_valid=np.ones((2,), bool),
+    )
+    (got,) = list(prefetch([batch], depth=1, transfer_fp32_as="bfloat16"))
+    # f32 leaves come back as f32 on device, quantized to bf16 precision
+    assert got.feats.dtype == np.float32
+    import ml_dtypes  # shipped with jax
+
+    want = batch.feats.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got.feats), want)
+    # non-f32 leaves are untouched
+    assert got.labels.dtype == np.int32
+    np.testing.assert_array_equal(np.asarray(got.padding_mask), batch.padding_mask)
+
+
 def test_prefetch_matches_direct_batch_iteration(tmp_path):
     d, clips, labels, names = make_iemocap_dir(tmp_path, n=17, dim=6)
     store = load_feature_store(d, {"ang": 0, "hap": 1, "neu": 2, "sad": 3})
