@@ -316,8 +316,9 @@ def main(argv=None) -> int:
     p.add_argument("--fold", default="0", help="0-based fold index or 'all'")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--name", default=None)
-    p.add_argument("--scan-chunk", type=int, default=8,
-                   help="batches per lax.scan dispatch (0 = per-batch steps)")
+    p.add_argument("--scan-chunk", type=int, default=4,
+                   help="batches per lax.scan dispatch (0 = per-batch steps); "
+                        "4 measured best at IEMOCAP scale, see PERFORMANCE.md")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="batches assembled ahead on a worker thread (0 = sync)")
     p.add_argument("--transfer-dtype", default=None,

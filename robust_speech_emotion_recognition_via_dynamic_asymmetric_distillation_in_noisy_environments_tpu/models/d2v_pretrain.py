@@ -344,8 +344,11 @@ def encoder_params(params) -> dict:
 
 
 def build_d2v_optimizer(pcfg: D2vPretrainConfig) -> optax.GradientTransformation:
+    # optax needs decay_steps > warmup_steps; clamp warmup for runs shorter
+    # than the configured warmup (smoke runs) without changing full runs.
+    warmup = min(pcfg.warmup_steps, max(pcfg.max_steps - 1, 0))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, pcfg.learning_rate, pcfg.warmup_steps, max(pcfg.max_steps, 1)
+        0.0, pcfg.learning_rate, warmup, max(pcfg.max_steps, warmup + 1)
     )
     return optax.chain(
         optax.clip_by_global_norm(pcfg.grad_clip),

@@ -440,3 +440,18 @@ def test_run_d2v_pretrain_smoke(tmp_path):
     assert os.path.exists(os.path.join(save, "d2v_training_history.json"))
     params = load_pretrained_encoder(save, cfg)
     assert "block_0" in params["params"]
+
+
+def test_d2v_optimizer_warmup_longer_than_run():
+    # smoke runs pass --steps far below the default 8000-step warmup; the
+    # schedule must clamp rather than crash on a negative decay span.
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_pretrain import (
+        build_d2v_optimizer,
+    )
+
+    pcfg = tiny_pcfg(max_steps=4, warmup_steps=8000)
+    tx = build_d2v_optimizer(pcfg)
+    params = {"w": jnp.zeros((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
