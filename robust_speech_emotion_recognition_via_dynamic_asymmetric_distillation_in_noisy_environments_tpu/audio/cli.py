@@ -23,6 +23,7 @@ import numpy as np
 
 from ..data.manifests import read_manifest
 from ..utils import get_logger
+from .native_inject import inject_files_native, native_inject_available
 from .noise import (
     NOISE_FILE_MAPPING,
     add_real_noise_np,
@@ -67,26 +68,54 @@ def inject(args: argparse.Namespace) -> int:
             raise ValueError(f"unknown noise type {args.noise_type}")
     noise_types = sorted(noises.keys()) if noises else []
 
-    ok_count = 0
-    for rel in relpaths:
-        in_path = os.path.join(args.input_root, rel)
-        out_path = os.path.join(args.output_root, rel)
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        audio, sr = read_wav(in_path)
+    in_paths = [os.path.join(args.input_root, rel) for rel in relpaths]
+    out_paths = [os.path.join(args.output_root, rel) for rel in relpaths]
+    types_per_file = None
+    if noises is not None:
+        if args.noise_mode == "type_specific":
+            types_per_file = [args.noise_type] * len(relpaths)
+        else:  # random noise type per sample (root2); pre-draw for determinism
+            types_per_file = [
+                noise_types[int(rng.integers(len(noise_types)))] for _ in relpaths
+            ]
+
+    engine = args.engine
+    if engine == "native" and not native_inject_available():
+        logger.warning("native injector unavailable; falling back to numpy")
+        engine = "numpy"
+
+    todo = list(range(len(relpaths)))
+    if engine == "native":
+        seeds = rng.integers(2**63, size=len(relpaths), dtype=np.uint64)
+        statuses = inject_files_native(
+            in_paths,
+            out_paths,
+            args.snr_db,
+            noise_bank=noises,
+            noise_type_per_file=types_per_file,
+            seeds=seeds,
+            n_threads=args.threads,
+        )
+        # unsupported formats fall back to the Python reader per file
+        todo = [i for i in np.nonzero(statuses)[0].tolist()]
+        if todo:
+            logger.info("native engine skipped %d files; numpy fallback", len(todo))
+
+    ok_count = len(relpaths) - len(todo)
+    for i in todo:
+        os.makedirs(os.path.dirname(out_paths[i]), exist_ok=True)
+        audio, sr = read_wav(in_paths[i])
         if audio.ndim == 2:
             audio = np.mean(audio, axis=1)
         if noises is None:
             noisy = add_white_noise_np(audio, args.snr_db, rng)
         else:
-            if args.noise_mode == "type_specific":
-                ntype = args.noise_type
-            else:  # random noise type per sample (root2)
-                ntype = noise_types[int(rng.integers(len(noise_types)))]
-            noise = tile_noise_np(noises[ntype], len(audio))
+            noise = tile_noise_np(noises[types_per_file[i]], len(audio))
             noisy = add_real_noise_np(audio, noise, args.snr_db)
-        write_wav(out_path, noisy, sr)
+        write_wav(out_paths[i], noisy, sr)
         ok_count += 1
-    logger.info("wrote %d noisy files to %s", ok_count, args.output_root)
+    logger.info("wrote %d noisy files to %s (%s engine)",
+                ok_count, args.output_root, engine)
 
     if args.verify:
         ok, results = verify_noise_injection(
@@ -117,6 +146,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--verify", action="store_true")
     p.add_argument("--tolerance", type=float, default=2.0)
+    p.add_argument("--engine", choices=["numpy", "native"], default="numpy",
+                   help="numpy = reference-exact serial loop; native = "
+                        "threaded C++ engine (SNR-exact, ~Nx faster)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="native engine worker threads (0 = auto)")
     p.set_defaults(func=inject)
     args = parser.parse_args(argv)
     return args.func(args)

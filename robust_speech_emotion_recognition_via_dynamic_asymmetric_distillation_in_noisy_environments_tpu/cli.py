@@ -39,7 +39,8 @@ def _cmd_inject(args):
 
     argv = ["inject", "--input_root", args.input_root, "--output_root",
             args.output_root, "--snr_db", str(args.snr_db),
-            "--manifest_path", args.manifest_path, "--seed", str(args.seed)]
+            "--manifest_path", args.manifest_path, "--seed", str(args.seed),
+            "--engine", args.engine, "--threads", str(args.threads)]
     if args.noise_root:
         argv += ["--noise_root", args.noise_root, "--noise_mode", args.noise_mode,
                  "--noise_type", args.noise_type]
@@ -182,6 +183,7 @@ def _cmd_preprocess(args):
         checkpoint=args.checkpoint,
         features_base=args.features_base,
         verify=not args.no_verify,
+        engine=args.engine,
     )
     return 0
 
@@ -257,6 +259,8 @@ def main(argv=None) -> int:
     p.add_argument("--noise_type", default="babble")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--verify", action="store_true")
+    p.add_argument("--engine", choices=["numpy", "native"], default="numpy")
+    p.add_argument("--threads", type=int, default=0)
     p.set_defaults(func=_cmd_inject)
 
     p = sub.add_parser("extract")
@@ -362,6 +366,8 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None, help="extract features too")
     p.add_argument("--features-base", default=None)
     p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--engine", choices=["numpy", "native"], default="numpy",
+                   help="native = threaded C++ injector (SNR-exact)")
     p.set_defaults(func=_cmd_preprocess)
 
     p = sub.add_parser("analyze")

@@ -86,12 +86,45 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32,
     ]
+    if not hasattr(lib, "inject_files"):
+        # stale .so from a build before the inject engine existed; rebuild.
+        # The running process keeps the old handle (dlopen caches by path),
+        # so the injector stays unavailable here but fresh processes get it.
+        try:
+            subprocess.run(
+                ["sh", os.path.join(_NATIVE_DIR, "build.sh")],
+                check=True,
+                capture_output=True,
+            )
+            lib = ctypes.CDLL(_SO_PATH)
+        except (subprocess.CalledProcessError, OSError) as e:  # pragma: no cover
+            logger.warning("native library rebuild failed: %s", e)
+    if hasattr(lib, "inject_files"):
+        lib.inject_files.restype = ctypes.c_int64
+        lib.inject_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int64,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
     _LIB = lib
     return _LIB
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def native_lib() -> Optional[ctypes.CDLL]:
+    """Shared handle to the native host-runtime library (or None)."""
+    return _load()
 
 
 def npy_data_offset(path: str) -> int:

@@ -30,6 +30,7 @@ def run_noise_grid(
     features_base: Optional[str] = None,
     verify: bool = True,
     seed: int = 42,
+    engine: str = "numpy",
 ) -> List[Dict]:
     """Returns one record per condition: {name, wav_dir, feature_dir}."""
     import argparse
@@ -64,6 +65,8 @@ def run_noise_grid(
             seed=seed,
             verify=verify,
             tolerance=2.0,
+            engine=engine,
+            threads=0,
         )
         rc = inject(args)
         if rc not in (0, 2):  # 2 = verification warning
