@@ -151,6 +151,36 @@ def _cmd_infer(args):
     return 0
 
 
+def _cmd_serve(args):
+    from .configs import dad_preset
+    from .eval.serving import EmotionPredictor, PredictionServer
+    from .models.convert import load_torch_file, torch_state_dict_to_ssrl
+
+    cfg = dad_preset(args.corpus)
+    ssrl = torch_state_dict_to_ssrl(load_torch_file(args.weights))
+    extractor = None
+    if args.checkpoint:
+        from .configs import EncoderConfig
+        from .models.convert import load_emotion2vec_checkpoint
+        from .models.extract import FeatureExtractor
+
+        enc_cfg = EncoderConfig(dtype=args.encoder_dtype)
+        params = load_emotion2vec_checkpoint(args.checkpoint, enc_cfg)
+        extractor = FeatureExtractor(enc_cfg, params, batch_size=args.max_batch)
+    predictor = EmotionPredictor(
+        cfg, ssrl, extractor=extractor, batch_size=args.max_batch,
+        use_teacher=args.teacher,
+    )
+    if not args.no_warmup:
+        predictor.warmup()
+    server = PredictionServer(
+        predictor, host=args.host, port=args.port,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server.serve_forever()
+    return 0
+
+
 def _cmd_ablation(args):
     from .configs import dad_preset
     from .exp import GRANULAR_ABLATIONS, STANDARD_ABLATIONS, run_ablation_suite
@@ -342,6 +372,21 @@ def main(argv=None) -> int:
     p.add_argument("--split", choices=["test", "all"], default="test")
     p.add_argument("--teacher", action="store_true")
     p.set_defaults(func=_cmd_infer)
+
+    p = sub.add_parser("serve", help="micro-batched prediction server")
+    p.add_argument("--weights", required=True, help="DAD best .pth")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"],
+                   default="iemocap", help="label set / preset")
+    p.add_argument("--checkpoint", default=None,
+                   help="emotion2vec checkpoint: enables raw-wav requests")
+    p.add_argument("--encoder-dtype", default="bfloat16")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8476)
+    p.add_argument("--max-batch", type=int, default=16)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--teacher", action="store_true")
+    p.add_argument("--no-warmup", action="store_true")
+    p.set_defaults(func=_cmd_serve)
 
     p = sub.add_parser("ablation")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)

@@ -1,0 +1,296 @@
+"""Production inference serving: micro-batched, bucket-static prediction.
+
+The reference stops at offline batch evaluation (inference.py:289-445). For
+deployment this module adds a serving path designed for the TPU execution
+model: all request shapes snap to a fixed (batch, bucket) grid so every
+program is compiled once at warmup, and concurrent requests are coalesced
+into full batches by a dispatcher thread (micro-batching) — single-clip
+requests ride along with whatever else is in flight instead of each paying
+a dispatch.
+
+Two entry layers:
+- ``EmotionPredictor``: synchronous API over features or raw waveforms.
+- ``PredictionServer``: stdlib HTTP server (no extra deps) with
+  ``POST /predict`` and ``GET /healthz``; handler threads enqueue requests,
+  one dispatcher drains the queue into predictor batches.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import DADConfig
+from ..dad.train_step import make_eval_step
+from ..models.heads import DADHead, SSRLState
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class EmotionPredictor:
+    """Bucket-static emotion prediction over features or waveforms.
+
+    ``extractor`` (a ``models.extract.FeatureExtractor``) is optional; with
+    it, ``predict_wavs`` runs the full wav -> emotion2vec -> head path.
+    """
+
+    def __init__(
+        self,
+        cfg: DADConfig,
+        ssrl: SSRLState,
+        extractor=None,
+        batch_size: int = 16,
+        frame_buckets: Sequence[int] = FRAME_BUCKETS,
+        use_teacher: bool = False,
+    ):
+        self.cfg = cfg
+        self.ssrl = ssrl
+        self.extractor = extractor
+        self.batch_size = batch_size
+        self.frame_buckets = tuple(frame_buckets)
+        self.use_teacher = use_teacher
+        self.head = DADHead(
+            cfg.input_dim, cfg.hidden_dim, cfg.num_classes, cfg.dropout_rate
+        )
+        self._eval = make_eval_step(self.head)
+        self.class_names = [
+            name for name, _ in sorted(cfg.label_dict, key=lambda kv: kv[1])
+        ]
+        self.requests_served = 0
+        self.batches_run = 0
+
+    @property
+    def _params(self):
+        return self.ssrl.teacher if self.use_teacher else self.ssrl.student
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compiles the head program for each frame bucket (and the
+        extractor's smallest bucket when present)."""
+        for T in buckets or self.frame_buckets:
+            feats = jnp.zeros((self.batch_size, T, self.cfg.input_dim))
+            mask = jnp.ones((self.batch_size, T), bool)
+            preds, _ = self._eval(self._params, feats, mask)
+            np.asarray(preds)  # host materialization = reliable sync here
+        if self.extractor is not None:
+            self.extractor.extract_clips(
+                [np.zeros(self.extractor.buckets[0], np.float32)]
+            )
+        logger.info("predictor warm: %d head buckets", len(self.frame_buckets))
+
+    def predict_features(self, clips: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
+        """clips: list of (t, input_dim) float arrays. Returns one dict per
+        clip: {label, label_id, probs}."""
+        order = np.argsort([len(c) for c in clips], kind="stable")
+        results: List[Optional[Dict[str, Any]]] = [None] * len(clips)
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            group = [np.asarray(clips[i], np.float32) for i in idx]
+            T = _bucket(max(len(c) for c in group), self.frame_buckets)
+            feats = np.zeros((B, T, self.cfg.input_dim), np.float32)
+            mask = np.ones((B, T), bool)
+            for row, c in enumerate(group):
+                t = min(len(c), T)
+                feats[row, :t] = c[:t]
+                mask[row, :t] = False
+            _preds, logits = self._eval(
+                self._params, jnp.asarray(feats), jnp.asarray(mask)
+            )
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            for row, i in enumerate(idx):
+                k = int(np.argmax(probs[row]))
+                results[int(i)] = {
+                    "label": self.class_names[k],
+                    "label_id": k,
+                    "probs": {
+                        name: float(probs[row, j])
+                        for j, name in enumerate(self.class_names)
+                    },
+                }
+            self.batches_run += 1
+        self.requests_served += len(clips)
+        return results  # type: ignore[return-value]
+
+    def predict_wavs(self, wavs: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
+        if self.extractor is None:
+            raise RuntimeError(
+                "no encoder loaded — pass --checkpoint to serve wav requests"
+            )
+        feats = self.extractor.extract_clips(
+            [np.asarray(w, np.float32) for w in wavs]
+        )
+        return self.predict_features(feats)
+
+
+class _WorkItem:
+    __slots__ = ("kind", "payload", "future")
+
+    def __init__(self, kind: str, payload: np.ndarray):
+        self.kind = kind
+        self.payload = payload
+        self.future: Future = Future()
+
+
+class PredictionServer:
+    """Micro-batching HTTP server around an ``EmotionPredictor``.
+
+    POST /predict with a JSON body of either:
+      {"features": [[...frame vectors...], ...]}   one clip, (t, dim)
+      {"wav": [...], "sr": 16000}                  one clip waveform
+    Responds {"label": ..., "label_id": ..., "probs": {...}}.
+
+    Requests from concurrent clients are coalesced: the dispatcher waits up
+    to ``max_wait_ms`` to fill ``max_batch`` slots, then runs one predictor
+    call for the whole group.
+    """
+
+    def __init__(
+        self,
+        predictor: EmotionPredictor,
+        host: str = "127.0.0.1",
+        port: int = 8476,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+    ):
+        self.predictor = predictor
+        self.max_batch = max_batch or predictor.batch_size
+        self.max_wait_ms = max_wait_ms
+        self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
+        self._stop = threading.Event()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # route through our logger
+                logger.debug("http: " + fmt, *args)
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, server.health())
+                else:
+                    self._json(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    self._json(404, {"error": "unknown path"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n))
+                    if "features" in req:
+                        item = _WorkItem(
+                            "features", np.asarray(req["features"], np.float32)
+                        )
+                    elif "wav" in req:
+                        item = _WorkItem("wav", np.asarray(req["wav"], np.float32))
+                    else:
+                        raise ValueError("body needs 'features' or 'wav'")
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._json(400, {"error": str(e)})
+                    return
+                server._queue.put(item)
+                try:
+                    self._json(200, item.future.result(timeout=120))
+                except Exception as e:  # noqa: BLE001 — report, don't crash
+                    self._json(500, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "ok",
+            "classes": self.predictor.class_names,
+            "wav_input": self.predictor.extractor is not None,
+            "requests_served": self.predictor.requests_served,
+            "batches_run": self.predictor.batches_run,
+            "max_batch": self.max_batch,
+        }
+
+    def _dispatch_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1e3
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_group(group)
+
+    def _run_group(self, group: List[_WorkItem]) -> None:
+        # wavs and features take different compute paths; split the group
+        for kind in ("features", "wav"):
+            items = [it for it in group if it.kind == kind]
+            if not items:
+                continue
+            try:
+                if kind == "features":
+                    outs = self.predictor.predict_features(
+                        [it.payload for it in items]
+                    )
+                else:
+                    outs = self.predictor.predict_wavs(
+                        [it.payload for it in items]
+                    )
+                for it, out in zip(items, outs):
+                    it.future.set_result(out)
+            except Exception as e:  # noqa: BLE001 — fail the whole group
+                for it in items:
+                    if not it.future.done():
+                        it.future.set_exception(e)
+
+    def start(self) -> None:
+        self._dispatcher.start()
+        self._server_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._server_thread.start()
+        logger.info("serving on %s:%d (max_batch=%d, wait=%.1fms)",
+                    self.host, self.port, self.max_batch, self.max_wait_ms)
+
+    def serve_forever(self) -> None:
+        self._dispatcher.start()
+        logger.info("serving on %s:%d (max_batch=%d, wait=%.1fms)",
+                    self.host, self.port, self.max_batch, self.max_wait_ms)
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -1,0 +1,161 @@
+"""Tests for the micro-batched prediction server (eval/serving.py)."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    dad_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.eval.serving import (
+    EmotionPredictor,
+    PredictionServer,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.heads import (
+    SSRLState,
+    init_ssrl,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    cfg = dad_preset("iemocap", input_dim=DIM, hidden_dim=8)
+    _head, ssrl = init_ssrl(jax.random.PRNGKey(0), input_dim=DIM, hidden_dim=8)
+    p = EmotionPredictor(cfg, ssrl, batch_size=4, frame_buckets=(8, 32))
+    p.warmup()
+    return p
+
+
+def _clip(t, seed=0):
+    return np.random.default_rng(seed).normal(size=(t, DIM)).astype(np.float32)
+
+
+def test_predict_features_shapes_and_order(predictor):
+    clips = [_clip(5, 1), _clip(30, 2), _clip(12, 3)]
+    outs = predictor.predict_features(clips)
+    assert len(outs) == 3
+    for out in outs:
+        assert out["label"] in predictor.class_names
+        assert abs(sum(out["probs"].values()) - 1.0) < 1e-4
+    # order preserved: recompute clip 1 alone and compare
+    alone = predictor.predict_features([clips[1]])[0]
+    assert alone["label"] == outs[1]["label"]
+    assert np.allclose(
+        list(alone["probs"].values()), list(outs[1]["probs"].values()), atol=1e-5
+    )
+
+
+def test_bucketing_is_padding_invariant(predictor):
+    # same clip must give the same probs regardless of which bucket its
+    # batch lands in (masked pooling ignores pad frames)
+    c = _clip(7, 9)
+    small = predictor.predict_features([c])[0]
+    mixed = predictor.predict_features([c, _clip(31, 10)])[0]
+    assert np.allclose(
+        list(small["probs"].values()), list(mixed["probs"].values()), atol=1e-5
+    )
+
+
+def test_teacher_toggle(predictor):
+    cfg = predictor.cfg
+    # make teacher differ from student
+    student = predictor.ssrl.student
+    teacher = jax.tree.map(lambda x: x + 0.3, student)
+    p2 = EmotionPredictor(
+        cfg, SSRLState(student=student, teacher=teacher),
+        batch_size=4, frame_buckets=(8, 32), use_teacher=True,
+    )
+    c = _clip(6, 4)
+    a = predictor.predict_features([c])[0]["probs"]
+    b = p2.predict_features([c])[0]["probs"]
+    assert not np.allclose(list(a.values()), list(b.values()))
+
+
+def test_http_server_end_to_end(predictor):
+    server = PredictionServer(predictor, port=0, max_wait_ms=2.0)
+    server.start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        # health
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and not health["wav_input"]
+
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/predict",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.getcode(), json.loads(r.read())
+
+        # concurrent requests coalesce into one micro-batch
+        results = [None] * 6
+        def worker(i):
+            results[i] = post({"features": _clip(10 + i, i).tolist()})
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for code, out in results:
+            assert code == 200
+            assert out["label"] in predictor.class_names
+
+        # malformed request -> 400
+        try:
+            post({"nonsense": 1})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # wav request without an encoder -> 500 with message
+        try:
+            post({"wav": [0.0] * 100})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "checkpoint" in json.loads(e.read())["error"]
+
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["requests_served"] >= 6
+    finally:
+        server.shutdown()
+
+
+def test_wav_path_with_tiny_encoder():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        EncoderConfig,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+    from test_d2v_pretrain import TINY_ENC
+
+    enc_cfg = EncoderConfig(**TINY_ENC)
+    enc = Emotion2vecEncoder(enc_cfg)
+    wav = np.zeros((1, 2000), np.float32)
+    params = enc.init(jax.random.PRNGKey(0), wav, np.ones((1, 2000), bool))
+    extractor = FeatureExtractor(enc_cfg, params, batch_size=2,
+                                 buckets=(2000, 4000))
+    cfg = dad_preset("iemocap", input_dim=enc_cfg.embed_dim, hidden_dim=8)
+    _h, ssrl = init_ssrl(jax.random.PRNGKey(1),
+                         input_dim=enc_cfg.embed_dim, hidden_dim=8)
+    p = EmotionPredictor(cfg, ssrl, extractor=extractor, batch_size=2,
+                         frame_buckets=(8, 64))
+    rng = np.random.default_rng(0)
+    outs = p.predict_wavs([rng.normal(size=1800) * 0.1,
+                           rng.normal(size=3500) * 0.1])
+    assert len(outs) == 2 and all(o["label"] in p.class_names for o in outs)
