@@ -1,9 +1,11 @@
 """North-star benchmark: fused extract+train clips/sec/chip.
 
 Measures the fully fused TPU path (waveform -> on-device white-noise
-injection -> emotion2vec 768-d transformer in bf16 with the Pallas attention
-kernel -> complete DAD teacher-student step: CE + DACP + KL consistency +
-ECDA + Adam + EMA) and reports clips processed per second per chip.
+injection -> emotion2vec 768-d transformer in bf16 (tanh GELU, XLA
+attention — measured faster than the Pallas kernel at SER lengths) ->
+complete DAD teacher-student step: CE + DACP + KL consistency + ECDA +
+Adam + EMA) and reports clips processed per second per chip. B=64/stream
+is the measured optimum (PERFORMANCE.md batch sweep).
 
 ``vs_baseline`` compares against the reference implementation style measured
 on this host: the same encoder forward executed clip-by-clip in torch

@@ -54,7 +54,8 @@ def _cmd_extract(args):
 
     argv = ["--data", args.data, "--split", args.split, "--checkpoint",
             args.checkpoint, "--save-dir", args.save_dir, "--layer",
-            str(args.layer), "--batch-size", str(args.batch_size)]
+            str(args.layer), "--batch-size", str(args.batch_size),
+            "--dp", str(args.dp), "--tp", str(args.tp)]
     if args.encoder_json:
         argv += ["--encoder-json", args.encoder_json]
     return extract_main(argv)
@@ -301,6 +302,8 @@ def main(argv=None) -> int:
     p.add_argument("--layer", type=int, default=11)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--encoder-json", default=None)
+    p.add_argument("--dp", type=int, default=0, help="dp mesh size (0 = off)")
+    p.add_argument("--tp", type=int, default=1, help="encoder tensor-parallel")
     p.set_defaults(func=_cmd_extract)
 
     p = sub.add_parser("pretrain")

@@ -44,20 +44,40 @@ class FeatureExtractor:
         params,
         batch_size: int = 16,
         buckets: Sequence[int] = (16000, 32000, 64000, 128000, 256000, 480000),
+        mesh=None,
     ):
+        """``mesh`` (a jax.sharding.Mesh from parallel.make_mesh) shards the
+        extraction forward: batches over dp, encoder params over tp (SURVEY
+        §2.5 — extraction is the dominant compute, and it is embarrassingly
+        batch-parallel). ``batch_size`` must divide by the dp axis size."""
         self.cfg = cfg
-        self.params = params
         self.batch_size = batch_size
         self.buckets = tuple(buckets)
+        self.mesh = mesh
         self.model = Emotion2vecEncoder(cfg)
 
-        @jax.jit
-        def fwd(wav, wav_mask):
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, encoder_param_sharding
+
+            dp = mesh.shape.get("dp", 1)
+            if batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide by dp={dp}"
+                )
+            params = jax.device_put(params, encoder_param_sharding(mesh, params))
+            in_shardings = (batch_sharding(mesh, 2),) * 2
+        self.params = params
+
+        def fwd(p, wav, wav_mask):
             x = normalize_wav(wav, wav_mask) if cfg.normalize_input else wav
-            feats, frame_mask = self.model.apply(params, x, wav_mask)
+            feats, frame_mask = self.model.apply(p, x, wav_mask)
             return feats.astype(jnp.float32), frame_mask
 
-        self._fwd = fwd
+        if mesh is None:
+            jitted = jax.jit(fwd)
+        else:
+            jitted = jax.jit(fwd, in_shardings=(None, *in_shardings))
+        self._fwd = lambda wav, mask: jitted(self.params, wav, mask)
 
     def extract_clips(self, clips: Sequence[np.ndarray]) -> List[np.ndarray]:
         """Extracts features for a list of 1-D waveforms, preserving order."""
@@ -92,13 +112,14 @@ def extract_manifest(
     params,
     split: str = "train",
     batch_size: int = 16,
+    mesh=None,
 ) -> Tuple[int, int]:
     """Runs extraction over a manifest dir and writes the feature store
     (reference CLI contract: --data/--split/--save-dir)."""
     from ..audio.wavio import read_wav
 
     root, files = read_manifest(manifest_dir, split)
-    extractor = FeatureExtractor(cfg, params, batch_size=batch_size)
+    extractor = FeatureExtractor(cfg, params, batch_size=batch_size, mesh=mesh)
     os.makedirs(save_dir, exist_ok=True)
     prefix = os.path.join(save_dir, split)
 
@@ -148,6 +169,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--encoder-json", default=None,
                    help="JSON dict of EncoderConfig field overrides")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard batches over a dp mesh of this size "
+                        "(0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel split of the encoder (with --dp)")
     args = p.parse_args(argv)
 
     if args.encoder_json:
@@ -162,7 +188,14 @@ def main(argv=None):
     else:
         cfg = EncoderConfig()
     params = load_emotion2vec_checkpoint(args.checkpoint, cfg)
-    extract_manifest(args.data, args.save_dir, cfg, params, args.split, args.batch_size)
+    mesh = None
+    if args.dp:
+        from ..parallel.mesh import make_mesh
+
+        mesh = (make_mesh(args.dp * args.tp, tp=args.tp) if args.tp > 1
+                else make_mesh(args.dp, axis_names=("dp",)))
+    extract_manifest(args.data, args.save_dir, cfg, params, args.split,
+                     args.batch_size, mesh=mesh)
     return 0
 
 

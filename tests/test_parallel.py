@@ -152,3 +152,49 @@ def test_fused_multi_snr_branch(rng):
     state2, metrics = step(enc_params, state, clean, noisy, scalars,
                            jnp.zeros(4), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_sharded_extraction_matches_single_device(rng):
+    """dp(+tp)-sharded FeatureExtractor returns the same features as the
+    unsharded path (models/extract.py mesh support)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+
+    enc = Emotion2vecEncoder(TINY_ENC)
+    wav0 = np.zeros((1, 400), np.float32)
+    params = enc.init(jax.random.PRNGKey(0), wav0, np.ones((1, 400), bool))
+    clips = [rng.normal(size=n).astype(np.float32) * 0.1
+             for n in (350, 420, 500, 610, 700, 380, 450, 520)]
+
+    base = FeatureExtractor(TINY_ENC, params, batch_size=8, buckets=(512, 1024))
+    ref = base.extract_clips(clips)
+
+    for kwargs in (dict(axis_names=("dp",)), dict(tp=2)):
+        mesh = make_mesh(8, **kwargs)
+        sharded = FeatureExtractor(TINY_ENC, params, batch_size=8,
+                                   buckets=(512, 1024), mesh=mesh)
+        got = sharded.extract_clips(clips)
+        for a, b in zip(ref, got):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+
+def test_sharded_extraction_rejects_indivisible_batch():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+    import pytest
+
+    enc = Emotion2vecEncoder(TINY_ENC)
+    wav0 = np.zeros((1, 400), np.float32)
+    params = enc.init(jax.random.PRNGKey(0), wav0, np.ones((1, 400), bool))
+    mesh = make_mesh(8, axis_names=("dp",))
+    with pytest.raises(ValueError, match="divide"):
+        FeatureExtractor(TINY_ENC, params, batch_size=6, mesh=mesh)

@@ -52,6 +52,8 @@ from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_no
     DADConfig,
     PretrainConfig,
     apply_overrides,
+    dad_preset,
+    pretrain_preset,
 )
 from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (  # noqa: E402
     load_feature_store,
@@ -65,6 +67,15 @@ from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_no
 )
 
 IEMOCAP_LABELS = ["ang", "hap", "neu", "sad"]
+CASIA_LABELS = ["angry", "happy", "neutral", "sad"]
+EMODB_SPEAKERS = ["03", "08", "09", "10", "11", "12", "13", "14", "15", "16"]
+
+CORPUS_META = {
+    # labels, speaker/group generator, sidecar kind
+    "iemocap": dict(labels=IEMOCAP_LABELS, n_groups=5),
+    "casia": dict(labels=CASIA_LABELS, n_groups=4),
+    "emodb": dict(labels=CASIA_LABELS, n_groups=10),
+}
 
 
 def make_parity_corpus(
@@ -78,8 +89,9 @@ def make_parity_corpus(
     frame_std: float = 1.0,
     noisy_shift: float = 1.1,
     noisy_std: float = 1.7,
+    corpus: str = "iemocap",
 ):
-    """Separable synthetic IEMOCAP-style corpus pair (clean + noisy domain).
+    """Separable synthetic corpus pair (clean + noisy domain).
 
     Each clip has a latent class vector mu_c + within-class jitter; frames are
     the latent + per-frame noise (mean-pooling recovers the latent). The
@@ -88,11 +100,18 @@ def make_parity_corpus(
     (c) distribution alignment (ECDA) has real work to do. Same clip
     lengths/labels/session ids in both domains, mirroring how the reference
     extracts features from clean and noise-injected copies of the same wavs.
+
+    ``corpus`` controls the group structure and sidecar format: IEMOCAP
+    writes ``.emo`` with session-coded names (5-fold session rotation),
+    CASIA writes ``.lbl``/``.spk`` with 4 speakers, EMODB with the 10 fixed
+    LOSO speakers — so each preset's real fold policy is exercised.
     """
+    meta = CORPUS_META[corpus]
+    label_names = meta["labels"]
     rng = np.random.default_rng(seed)
     mu = rng.normal(size=(4, dim)) * class_sep
     shift = rng.normal(size=(dim,)) * noisy_shift
-    clean_clips, noisy_clips, labels, names = [], [], [], []
+    clean_clips, noisy_clips, labels, names, speakers = [], [], [], [], []
     for i in range(n):
         c = i % 4
         t = int(rng.integers(20, 60))
@@ -102,16 +121,32 @@ def make_parity_corpus(
         noisy_frames = noisy_latent[None, :] + rng.normal(size=(t, dim)) * frame_std
         clean_clips.append(frames.astype(np.float32))
         noisy_clips.append(noisy_frames.astype(np.float32))
-        labels.append(IEMOCAP_LABELS[c])
-        session = (i % 5) + 1
-        names.append(f"Ses0{session}F_impro0{i % 9}_F{i:03d}")
-    write_feature_store(out_clean, clean_clips, labels=labels, utt_names=names, sidecar="emo")
-    write_feature_store(out_noisy, noisy_clips, labels=labels, utt_names=names, sidecar="emo")
+        labels.append(label_names[c])
+        group = (i // 4) % meta["n_groups"]  # every group sees every class
+        if corpus == "iemocap":
+            names.append(f"Ses0{group + 1}F_impro0{i % 9}_F{i:03d}")
+            speakers.append(None)
+        elif corpus == "casia":
+            names.append(f"utt_{i:04d}")
+            speakers.append(f"casia_spk_{group + 1}")
+        else:  # emodb
+            names.append(f"{EMODB_SPEAKERS[group]}a{i % 7}{'ATLN'[c]}a_{i:03d}")
+            speakers.append(f"emodb_spk_{EMODB_SPEAKERS[group]}")
+    sidecar = "emo" if corpus == "iemocap" else "lbl"
+    spk = None if corpus == "iemocap" else speakers
+    write_feature_store(out_clean, clean_clips, labels=labels, utt_names=names,
+                        speakers=spk, sidecar=sidecar)
+    write_feature_store(out_noisy, noisy_clips, labels=labels, utt_names=names,
+                        speakers=spk, sidecar=sidecar)
 
 
-def build_configs(dim: int, epochs: int, seed: int, tmpdir: str):
-    pre_cfg = PretrainConfig(
-        corpus="iemocap",
+def build_configs(dim: int, epochs: int, seed: int, tmpdir: str,
+                  corpus: str = "iemocap"):
+    """Corpus presets (the real per-corpus hyperparameter divergences:
+    CASIA fixed-threshold/no-ECDA, EMODB beta=0.8/LR=5e-3) scaled down to
+    parity-protocol size."""
+    pre_cfg = pretrain_preset(
+        corpus,
         input_dim=dim,
         batch_size=32,
         max_epochs=max(epochs, 30),
@@ -119,8 +154,8 @@ def build_configs(dim: int, epochs: int, seed: int, tmpdir: str):
         save_dir=os.path.join(tmpdir, f"pretrain_s{seed}"),
     )
     warm = max(epochs // 5, 2)
-    dad_cfg = DADConfig(
-        corpus="iemocap",
+    dad_cfg = dad_preset(
+        corpus,
         input_dim=dim,
         batch_size=32,
         epochs=epochs,
@@ -190,20 +225,29 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=48)
     ap.add_argument("--fold", type=int, default=0)
     ap.add_argument("--tolerance", type=float, default=0.5)
-    ap.add_argument("--out", default="PARITY_REPORT.json")
+    ap.add_argument("--corpus", choices=["iemocap", "casia", "emodb"],
+                    default="iemocap")
+    ap.add_argument("--out", default=None,
+                    help="default PARITY_REPORT.json (iemocap) / "
+                         "PARITY_REPORT_<corpus>.json")
     args = ap.parse_args(argv)
+    if args.out is None:
+        args.out = ("PARITY_REPORT.json" if args.corpus == "iemocap"
+                    else f"PARITY_REPORT_{args.corpus}.json")
 
     tmpdir = tempfile.mkdtemp(prefix="parity_")
     clean_dir = os.path.join(tmpdir, "clean")
     noisy_dir = os.path.join(tmpdir, "root2-10db")
-    make_parity_corpus(clean_dir, noisy_dir, n=args.n_clips, dim=args.dim)
-    label_map = {k: i for i, k in enumerate(IEMOCAP_LABELS)}
+    make_parity_corpus(clean_dir, noisy_dir, n=args.n_clips, dim=args.dim,
+                       corpus=args.corpus)
+    label_map = {k: i for i, k in enumerate(CORPUS_META[args.corpus]["labels"])}
     clean_store = load_feature_store(clean_dir, label_map)
     noisy_store = load_feature_store(noisy_dir, label_map)
 
     jax_rows, torch_rows = [], []
     for seed in range(args.seeds):
-        pre_cfg, dad_cfg = build_configs(args.dim, args.epochs, seed, tmpdir)
+        pre_cfg, dad_cfg = build_configs(args.dim, args.epochs, seed, tmpdir,
+                                         corpus=args.corpus)
         t0 = time.time()
         torch_rows.append(run_torch_side(pre_cfg, dad_cfg, clean_store, noisy_store, args.fold))
         t1 = time.time()
@@ -231,10 +275,17 @@ def main(argv=None):
         delta = jm - tm
         if name.startswith("noisy_") and name != "noisy_WF1":
             worst_noisy = max(worst_noisy, abs(delta))
+        # SE of the delta + Welch t so a gate miss can be read as noise vs
+        # systematic (both sides train on the same per-seed data, but RNG
+        # streams differ — SURVEY §7 RNG parity)
+        n = max(len(jv), 1)
+        se = float(np.sqrt(js**2 / n + ts**2 / n))
         table[name] = {
             "jax_mean": jm, "jax_std": js, "jax_per_seed": jv,
             "torch_mean": tm, "torch_std": ts, "torch_per_seed": tv,
             "delta_pp": delta,
+            "delta_se_pp": se,
+            "welch_t": delta / se if se > 0 else 0.0,
         }
 
     ok = worst_noisy <= args.tolerance
@@ -242,7 +293,9 @@ def main(argv=None):
         "protocol": {
             "seeds": args.seeds, "epochs": args.epochs, "fold": args.fold,
             "n_clips": args.n_clips, "dim": args.dim,
-            "corpus": "synthetic IEMOCAP-style (see tools/run_parity.py:make_parity_corpus)",
+            "corpus": f"synthetic {args.corpus}-style "
+                      "(see tools/run_parity.py:make_parity_corpus)",
+            "preset": args.corpus,
             "gate": f"mean noisy-domain UA/WA delta within +/-{args.tolerance} pp",
         },
         "metrics": table,
@@ -252,11 +305,11 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
 
-    print(f"\n{'metric':<14}{'jax':>10}{'torch':>10}{'delta':>9}")
+    print(f"\n{'metric':<14}{'jax':>10}{'torch':>10}{'delta':>9}{'±SE':>7}{'t':>7}")
     for name, row in table.items():
         print(
             f"{name:<14}{row['jax_mean']:>9.2f}%{row['torch_mean']:>9.2f}%"
-            f"{row['delta_pp']:>+8.2f}"
+            f"{row['delta_pp']:>+8.2f}{row['delta_se_pp']:>7.2f}{row['welch_t']:>+7.1f}"
         )
     print(
         f"\nnoisy-domain parity: worst |delta| = {worst_noisy:.2f} pp "
