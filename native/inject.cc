@@ -18,6 +18,7 @@
 // Exposed as a C ABI for ctypes (no pybind11 in this image).
 
 #include <atomic>
+#include <cerrno>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -49,11 +50,14 @@ bool read_wav_mono(const char* path, WavData* out) {
   uint32_t sample_rate = 0;
   std::vector<uint8_t> data;
   bool have_fmt = false, have_data = false;
+  constexpr uint32_t kMaxChunk = 1u << 30;  // corrupt-size guard (1 GB)
   for (;;) {
     char id[4];
     uint32_t size;
     if (fread(id, 1, 4, f) != 4 || fread(&size, 4, 1, f) != 1) break;
+    if (size > kMaxChunk) break;  // declared size is garbage
     if (memcmp(id, "fmt ", 4) == 0) {
+      if (size < 16) break;  // canonical fmt chunk is >= 16 bytes
       std::vector<uint8_t> fmt(size);
       if (fread(fmt.data(), 1, size, f) != size) break;
       memcpy(&audio_format, fmt.data() + 0, 2);
@@ -209,6 +213,11 @@ int64_t inject_files(const char** in_paths, const char** out_paths,
       } else {
         const float* src = noise_bank + noise_offsets[bank];
         const int64_t len = noise_lens[bank];
+        if (len <= 0) {  // empty bank entry: modulo below would SIGFPE
+          statuses[i] = 1;
+          failures.fetch_add(1);
+          continue;
+        }
         double noise_power = 0.0;
         for (size_t t = 0; t < n; ++t) {
           noise[t] = src[t % len];  // tile from 0, like tile_noise_np

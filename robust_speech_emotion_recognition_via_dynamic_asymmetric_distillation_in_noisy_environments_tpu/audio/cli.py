@@ -102,26 +102,37 @@ def inject(args: argparse.Namespace) -> int:
             logger.info("native engine skipped %d files; numpy fallback", len(todo))
 
     ok_count = len(relpaths) - len(todo)
+    failed = []
     for i in todo:
-        os.makedirs(os.path.dirname(out_paths[i]), exist_ok=True)
-        audio, sr = read_wav(in_paths[i])
-        if audio.ndim == 2:
-            audio = np.mean(audio, axis=1)
-        if noises is None:
-            noisy = add_white_noise_np(audio, args.snr_db, rng)
-        else:
-            noise = tile_noise_np(noises[types_per_file[i]], len(audio))
-            noisy = add_real_noise_np(audio, noise, args.snr_db)
-        write_wav(out_paths[i], noisy, sr)
-        ok_count += 1
+        try:
+            os.makedirs(os.path.dirname(out_paths[i]), exist_ok=True)
+            audio, sr = read_wav(in_paths[i])
+            if audio.ndim == 2:
+                audio = np.mean(audio, axis=1)
+            if noises is None:
+                noisy = add_white_noise_np(audio, args.snr_db, rng)
+            else:
+                noise = tile_noise_np(noises[types_per_file[i]], len(audio))
+                noisy = add_real_noise_np(audio, noise, args.snr_db)
+            write_wav(out_paths[i], noisy, sr)
+            ok_count += 1
+        except Exception as e:  # noqa: BLE001 — a bad clip must not kill the grid
+            if engine == "numpy":
+                raise  # numpy engine keeps the reference's fail-fast behavior
+            failed.append(relpaths[i])
+            logger.warning("skipping unprocessable %s: %s", relpaths[i], e)
+    if failed:
+        logger.warning("%d files failed both engines (first: %s)",
+                       len(failed), failed[:3])
     logger.info("wrote %d noisy files to %s (%s engine)",
                 ok_count, args.output_root, engine)
 
     if args.verify:
+        done = [r for r in relpaths if r not in set(failed)]
         ok, results = verify_noise_injection(
             args.input_root,
             args.output_root,
-            relpaths,
+            done,
             args.snr_db,
             tolerance_db=args.tolerance,
         )

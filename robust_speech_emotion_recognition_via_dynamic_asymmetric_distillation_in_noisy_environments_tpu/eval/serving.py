@@ -31,19 +31,14 @@ import numpy as np
 
 from ..configs import DADConfig
 from ..dad.train_step import make_eval_step
+from ..models.extract import _bucket  # rounds UP past the top bucket —
+# a long clip gets a bigger (uncached) program instead of silent truncation
 from ..models.heads import DADHead, SSRLState
 from ..utils import get_logger
 
 logger = get_logger(__name__)
 
 FRAME_BUCKETS = (64, 128, 256, 512, 1024, 2048)
-
-
-def _bucket(n: int, buckets: Sequence[int]) -> int:
-    for b in buckets:
-        if n <= b:
-            return b
-    return buckets[-1]
 
 
 class EmotionPredictor:
@@ -205,15 +200,28 @@ class PredictionServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n))
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
+                    # validate shapes at ingress: one bad request must not
+                    # poison the micro-batch it coalesces into
+                    dim = server.predictor.cfg.input_dim
                     if "features" in req:
-                        item = _WorkItem(
-                            "features", np.asarray(req["features"], np.float32)
-                        )
+                        arr = np.asarray(req["features"], np.float32)
+                        if arr.ndim != 2 or arr.shape[0] < 1 or arr.shape[1] != dim:
+                            raise ValueError(
+                                f"'features' must be (t, {dim}), got {arr.shape}"
+                            )
+                        item = _WorkItem("features", arr)
                     elif "wav" in req:
-                        item = _WorkItem("wav", np.asarray(req["wav"], np.float32))
+                        arr = np.asarray(req["wav"], np.float32)
+                        if arr.ndim != 1 or arr.shape[0] < 1:
+                            raise ValueError(
+                                f"'wav' must be a 1-D sample list, got {arr.shape}"
+                            )
+                        item = _WorkItem("wav", arr)
                     else:
                         raise ValueError("body needs 'features' or 'wav'")
-                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
                 server._queue.put(item)
@@ -275,22 +283,33 @@ class PredictionServer:
                     if not it.future.done():
                         it.future.set_exception(e)
 
+    def _start_dispatcher(self) -> None:
+        if not self._dispatcher.is_alive():
+            self._dispatcher.start()
+        logger.info("serving on %s:%d (max_batch=%d, wait=%.1fms)",
+                    self.host, self.port, self.max_batch, self.max_wait_ms)
+
     def start(self) -> None:
-        self._dispatcher.start()
+        self._start_dispatcher()
         self._server_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
         self._server_thread.start()
-        logger.info("serving on %s:%d (max_batch=%d, wait=%.1fms)",
-                    self.host, self.port, self.max_batch, self.max_wait_ms)
 
     def serve_forever(self) -> None:
-        self._dispatcher.start()
-        logger.info("serving on %s:%d (max_batch=%d, wait=%.1fms)",
-                    self.host, self.port, self.max_batch, self.max_wait_ms)
+        self._start_dispatcher()
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:
         self._stop.set()
+        # fail anything still queued so blocked handler threads return
+        # immediately instead of waiting out their client timeout
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not item.future.done():
+                item.future.set_exception(RuntimeError("server shutting down"))
         self._httpd.shutdown()
         self._httpd.server_close()

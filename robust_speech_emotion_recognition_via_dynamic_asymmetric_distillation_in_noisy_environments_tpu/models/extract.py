@@ -189,11 +189,12 @@ def main(argv=None):
         cfg = EncoderConfig()
     params = load_emotion2vec_checkpoint(args.checkpoint, cfg)
     mesh = None
-    if args.dp:
+    if args.dp or args.tp > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = (make_mesh(args.dp * args.tp, tp=args.tp) if args.tp > 1
-                else make_mesh(args.dp, axis_names=("dp",)))
+        dp = args.dp or 1
+        mesh = (make_mesh(dp * args.tp, tp=args.tp) if args.tp > 1
+                else make_mesh(dp, axis_names=("dp",)))
     extract_manifest(args.data, args.save_dir, cfg, params, args.split,
                      args.batch_size, mesh=mesh)
     return 0

@@ -200,3 +200,54 @@ def test_cli_native_falls_back_for_unreadable_files(tmp_path):
     assert rc == 0
     for rel in rels:
         assert (tmp_path / "noisy" / rel).exists()
+
+
+def test_empty_noise_bank_entry_marks_failure(tmp_path):
+    # a zero-length bank entry must come back as status, not SIGFPE
+    _, ins = _make_tree(str(tmp_path / "clean"), n_files=1)
+    outs = [str(tmp_path / "o.wav")]
+    st = inject_files_native(
+        ins, outs, 10.0,
+        noise_bank={"babble": np.zeros(0, np.float32)},
+        noise_type_per_file=["babble"],
+    )
+    assert st[0] == 1
+
+
+def test_corrupt_fmt_chunk_is_read_error(tmp_path):
+    # valid RIFF/WAVE header with an 8-byte fmt chunk: parser must reject,
+    # not over-read
+    bad = str(tmp_path / "bad.wav")
+    import struct
+    with open(bad, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x80>\x00\x00")
+        f.write(b"data" + struct.pack("<I", 0))
+    st = inject_files_native([bad], [str(tmp_path / "o.wav")], 10.0)
+    assert st[0] == 1
+
+
+def test_fallback_survives_totally_corrupt_file(tmp_path):
+    # native rejects AND the Python wave module rejects: the CLI must log
+    # and continue, not crash the grid run
+    clean_root = tmp_path / "clean"
+    rels, ins = _make_tree(str(clean_root), n_files=2)
+    with open(ins[0], "wb") as f:
+        f.write(b"RIFFgarbagegarbage")
+    manifest = tmp_path / "train.tsv"
+    with open(manifest, "w") as f:
+        print(str(clean_root), file=f)
+        for rel in rels:
+            print(f"{rel}\t16000", file=f)
+    rc = audio_cli_main([
+        "inject",
+        "--input_root", str(clean_root),
+        "--output_root", str(tmp_path / "noisy"),
+        "--snr_db", "10",
+        "--manifest_path", str(manifest),
+        "--engine", "native",
+        "--verify",
+    ])
+    assert rc == 0  # verify runs over the files that succeeded
+    assert (tmp_path / "noisy" / rels[1]).exists()
+    assert not (tmp_path / "noisy" / rels[0]).exists()

@@ -159,3 +159,50 @@ def test_wav_path_with_tiny_encoder():
     outs = p.predict_wavs([rng.normal(size=1800) * 0.1,
                            rng.normal(size=3500) * 0.1])
     assert len(outs) == 2 and all(o["label"] in p.class_names for o in outs)
+
+
+def test_long_clip_not_truncated(predictor):
+    # clips past the top frame bucket round UP (extract._bucket semantics):
+    # all frames participate in the pooled prediction
+    long_clip = _clip(40, 11)  # top bucket in the fixture is 32
+    direct = predictor.predict_features([long_clip])[0]
+    # truncating to the top bucket would give a different pooled result
+    truncated = predictor.predict_features([long_clip[:32]])[0]
+    assert not np.allclose(
+        list(direct["probs"].values()), list(truncated["probs"].values())
+    )
+
+
+def test_http_bad_shapes_rejected_without_poisoning(predictor):
+    import urllib.error
+    import urllib.request
+
+    server = PredictionServer(predictor, port=0, max_wait_ms=2.0)
+    server.start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/predict", data=json.dumps(payload).encode()
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.getcode(), json.loads(r.read())
+
+        for bad in (
+            {"features": [1.0, 2.0, 3.0]},        # 1-D
+            {"features": [[1.0, 2.0]]},            # wrong dim
+            {"features": []},                      # empty
+            {"wav": [[0.1, 0.2]]},                 # 2-D wav
+            123,                                   # non-object body
+        ):
+            try:
+                post(bad)
+                raise AssertionError(f"expected 400 for {bad!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # a valid request still works after the rejects
+        code, out = post({"features": _clip(9, 5).tolist()})
+        assert code == 200 and out["label"] in predictor.class_names
+    finally:
+        server.shutdown()
