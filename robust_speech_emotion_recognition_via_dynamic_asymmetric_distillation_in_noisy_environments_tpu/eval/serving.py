@@ -67,6 +67,27 @@ class EmotionPredictor:
             cfg.input_dim, cfg.hidden_dim, cfg.num_classes, cfg.dropout_rate
         )
         self._eval = make_eval_step(self.head)
+        self._wav_eval = None
+        if extractor is not None:
+            import jax.numpy as _jnp
+
+            enc = extractor.model
+            enc_cfg = extractor.cfg
+
+            def wav_fwd(enc_params, head_params, wav, wav_mask):
+                # one program wav -> logits: only (B, C) leaves the device
+                # (the feature download dominated the split path's latency)
+                from ..models.emotion2vec import normalize_wav
+
+                x = normalize_wav(wav, wav_mask) if enc_cfg.normalize_input else wav
+                feats, frame_mask = enc.apply(enc_params, x, wav_mask)
+                logits, _ = self.head.apply(
+                    head_params, feats.astype(_jnp.float32), frame_mask,
+                    deterministic=True,
+                )
+                return logits
+
+            self._wav_eval = jax.jit(wav_fwd)
         self.class_names = [
             name for name, _ in sorted(cfg.label_dict, key=lambda kv: kv[1])
         ]
@@ -86,9 +107,7 @@ class EmotionPredictor:
             preds, _ = self._eval(self._params, feats, mask)
             np.asarray(preds)  # host materialization = reliable sync here
         if self.extractor is not None:
-            self.extractor.extract_clips(
-                [np.zeros(self.extractor.buckets[0], np.float32)]
-            )
+            self.predict_wavs([np.zeros(self.extractor.buckets[0], np.float32)])
         logger.info("predictor warm: %d head buckets", len(self.frame_buckets))
 
     def predict_features(self, clips: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
@@ -130,10 +149,37 @@ class EmotionPredictor:
             raise RuntimeError(
                 "no encoder loaded — pass --checkpoint to serve wav requests"
             )
-        feats = self.extractor.extract_clips(
-            [np.asarray(w, np.float32) for w in wavs]
-        )
-        return self.predict_features(feats)
+        clips = [np.asarray(w, np.float32) for w in wavs]
+        order = np.argsort([len(c) for c in clips], kind="stable")
+        results: List[Optional[Dict[str, Any]]] = [None] * len(clips)
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            group = [clips[i] for i in idx]
+            T = _bucket(max(len(c) for c in group), self.extractor.buckets)
+            wav = np.zeros((B, T), np.float32)
+            mask = np.ones((B, T), bool)
+            for row, c in enumerate(group):
+                wav[row, : len(c)] = c
+                mask[row, : len(c)] = False
+            logits = self._wav_eval(
+                self.extractor.params, self._params,
+                jnp.asarray(wav), jnp.asarray(mask),
+            )
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            for row, i in enumerate(idx):
+                k = int(np.argmax(probs[row]))
+                results[int(i)] = {
+                    "label": self.class_names[k],
+                    "label_id": k,
+                    "probs": {
+                        name: float(probs[row, j])
+                        for j, name in enumerate(self.class_names)
+                    },
+                }
+            self.batches_run += 1
+        self.requests_served += len(clips)
+        return results  # type: ignore[return-value]
 
 
 class _WorkItem:

@@ -66,6 +66,11 @@ class FeatureExtractor:
                 )
             params = jax.device_put(params, encoder_param_sharding(mesh, params))
             in_shardings = (batch_sharding(mesh, 2),) * 2
+        else:
+            # commit to device ONCE: params flow as jit arguments (remote
+            # compile body limit), and a host-resident tree would otherwise
+            # re-upload ~360 MB per call over the tunnel
+            params = jax.device_put(params)
         self.params = params
 
         def fwd(p, wav, wav_mask):
