@@ -15,6 +15,7 @@ Replaces the reference's PowerShell drivers + per-stage scripts:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -195,6 +196,48 @@ def _cmd_ablation(args):
     )
     suite = STANDARD_ABLATIONS if args.suite == "standard" else GRANULAR_ABLATIONS
     run_ablation_suite(cfg, suite, fold=args.fold, output_path=args.output)
+    return 0
+
+
+def _cmd_sensitivity(args):
+    from .configs import dad_preset
+    from .exp.sensitivity import run_sensitivity_sweep
+
+    cfg = dad_preset(
+        args.corpus,
+        clean_data_dir=args.clean,
+        noisy_data_dir=args.noisy,
+        pretrained_weight=args.weights or "",
+        epochs=args.epochs,
+    )
+    values = [float(x) for x in args.values.split(",")] if args.values else None
+    run_sensitivity_sweep(
+        cfg, args.knob, values=values, fold=args.fold,
+        output_dir=args.output_dir,
+    )
+    return 0
+
+
+def _cmd_fix_format(args):
+    from .audio.format import check_audio_format, fix_audio_format
+
+    n_checked = n_fixed = 0
+    for dirpath, _dirs, files in os.walk(args.root):
+        for fname in sorted(files):
+            if not fname.lower().endswith(".wav"):
+                continue
+            path = os.path.join(dirpath, fname)
+            n_checked += 1
+            ok, sr, ch = check_audio_format(path, target_sr=args.target_sr)
+            if ok:
+                continue
+            if args.check_only:
+                print(f"NONCONFORMING {path}: {sr} Hz, {ch} ch")
+            else:
+                fix_audio_format(path, path, target_sr=args.target_sr)
+            n_fixed += 1
+    verb = "flagged" if args.check_only else "fixed"
+    print(f"checked {n_checked} wavs; {verb} {n_fixed}")
     return 0
 
 
@@ -401,6 +444,29 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--output", default="ablation_results.json")
     p.set_defaults(func=_cmd_ablation)
+
+    p = sub.add_parser("sensitivity",
+                       help="hyperparameter sensitivity sweep "
+                            "(run_hyperparameter_sensitivity*.py)")
+    p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
+    p.add_argument("--clean", required=True)
+    p.add_argument("--noisy", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--knob", required=True,
+                   help="e.g. WEIGHT_ECDA, DACP_CALIBRATION_STRENGTH_LAMBDA, "
+                        "ECDA_GAMMA_DELTA")
+    p.add_argument("--values", default=None, help="comma list; default grid")
+    p.add_argument("--fold", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=500)
+    p.add_argument("--output-dir", default="sensitivity_results")
+    p.set_defaults(func=_cmd_sensitivity)
+
+    p = sub.add_parser("fix-format",
+                       help="16 kHz-mono gate (check_and_fix_audio_format.py)")
+    p.add_argument("--root", required=True, help="wav tree to walk")
+    p.add_argument("--target-sr", type=int, default=16000)
+    p.add_argument("--check-only", action="store_true")
+    p.set_defaults(func=_cmd_fix_format)
 
     p = sub.add_parser("preprocess", help="noise-grid injection (+extraction)")
     p.add_argument("--manifest-dir", required=True)

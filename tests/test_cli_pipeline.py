@@ -129,3 +129,50 @@ def test_full_cli_pipeline(tmp_path, monkeypatch, rng):
                 "features_noisy", "--split", "all"]) == 0
     out = [f for f in os.listdir("inference_results")]
     assert out
+
+
+def test_fix_format_cli(tmp_path, capsys):
+    import wave
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        read_wav as _read,
+        write_wav as _write,
+    )
+
+    root = tmp_path / "tree"
+    os.makedirs(root / "sub")
+    rng = np.random.default_rng(0)
+    _write(str(root / "ok.wav"), rng.normal(size=8000) * 0.1, 16000)
+    # wrong rate + stereo
+    _write(str(root / "sub" / "bad.wav"),
+           np.stack([rng.normal(size=4410)] * 2, 1) * 0.1, 44100)
+
+    rc = cli(["fix-format", "--root", str(root), "--check-only"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "flagged 1" in out and "bad.wav" in out
+
+    rc = cli(["fix-format", "--root", str(root)])
+    assert rc == 0
+    audio, sr = _read(str(root / "sub" / "bad.wav"))
+    assert sr == 16000 and audio.ndim == 1
+
+    rc = cli(["fix-format", "--root", str(root), "--check-only"])
+    assert "flagged 0" in capsys.readouterr().out
+
+
+def test_sensitivity_cli(tmp_path, monkeypatch):
+    from helpers import make_iemocap_dir
+
+    monkeypatch.chdir(tmp_path)
+    clean = make_iemocap_dir(tmp_path / "clean", n=48, dim=8)
+    noisy = make_iemocap_dir(tmp_path / "noisy", n=48, dim=8, seed=5)
+    rc = cli([
+        "sensitivity", "--corpus", "iemocap",
+        "--clean", str(clean), "--noisy", str(noisy),
+        "--knob", "WEIGHT_ECDA", "--values", "0.0,0.3",
+        "--epochs", "3", "--output-dir", str(tmp_path / "sens"),
+    ])
+    assert rc == 0
+    results = json.load(open(tmp_path / "sens" / "sensitivity_WEIGHT_ECDA.json"))
+    assert len(results) == 2
