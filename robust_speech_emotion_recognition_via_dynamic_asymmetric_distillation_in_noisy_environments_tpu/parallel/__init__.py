@@ -9,9 +9,12 @@ from .sharded import (
     shard_dad_state,
 )
 from .fused import (
+    CleanFeatureBatch,
+    FusedBatch,
     FusedConfig,
     init_fused,
     make_fused_extract_train_step,
+    precompute_clean_features,
 )
 from .d2v_sharded import (
     make_sharded_d2v_step,
@@ -25,9 +28,12 @@ __all__ = [
     "encoder_param_sharding",
     "make_sharded_dad_train_step",
     "shard_dad_state",
+    "CleanFeatureBatch",
+    "FusedBatch",
     "FusedConfig",
     "init_fused",
     "make_fused_extract_train_step",
+    "precompute_clean_features",
     "make_sharded_d2v_step",
     "place_d2v_state",
 ]

@@ -198,3 +198,63 @@ def test_sharded_extraction_rejects_indivisible_batch():
     mesh = make_mesh(8, axis_names=("dp",))
     with pytest.raises(ValueError, match="divide"):
         FeatureExtractor(TINY_ENC, params, batch_size=6, mesh=mesh)
+
+
+def test_cached_clean_features_matches_inline_extraction(rng):
+    """cache_clean_features: precomputed clean features + noisy-only
+    extraction must reproduce the inline two-extraction step exactly
+    (the clean stream has no per-step randomness)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        precompute_clean_features,
+    )
+    import dataclasses
+
+    cfg = FusedConfig(encoder=TINY_ENC, dad=CFG)
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    clean, noisy = _fused_batch(rng), _fused_batch(rng, labeled=False)
+    scalars = StepScalars.for_epoch(CFG, 4)
+    key = jax.random.PRNGKey(1)
+
+    inline = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
+    s1, m1 = inline(enc_params, state, clean, noisy, scalars, jnp.zeros(4), key)
+
+    cfg_c = dataclasses.replace(cfg, cache_clean_features=True)
+    _e, _p, _h, tx2, state2 = init_fused(cfg_c, jax.random.PRNGKey(0), example_len=256)
+    cached_clean = precompute_clean_features(encoder, enc_params, cfg_c, clean)
+    cached = make_fused_extract_train_step(encoder, head, tx2, cfg_c, mesh=None)
+    s2, m2 = cached(enc_params, state2, cached_clean, noisy, scalars,
+                    jnp.zeros(4), key)
+
+    for k in ("total_loss", "supervised_ce_loss", "consistency_loss", "ecda_loss"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(
+        np.asarray(s1.ssrl.student["params"]["encoder"]["pre_net"]["kernel"]),
+        np.asarray(s2.ssrl.student["params"]["encoder"]["pre_net"]["kernel"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_cached_clean_features_multichip(rng):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        precompute_clean_features,
+    )
+
+    cfg = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_db=10.0,
+                      cache_clean_features=True)
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    mesh = make_mesh(8, tp=2)
+    step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh)
+    with mesh:
+        enc_s, state_s = place_fused(enc_params, state, mesh)
+        clean = precompute_clean_features(encoder, enc_params, cfg, _fused_batch(rng))
+        noisy = _fused_batch(rng, labeled=False)
+        scalars = StepScalars.for_epoch(CFG, 4)
+        state2, metrics = step(
+            enc_s, state_s, clean, noisy, scalars, jnp.zeros(4), jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(metrics["total_loss"]))
