@@ -42,7 +42,9 @@ def run_and_trace(logdir):
     enc_cfg = EncoderConfig(dtype="bfloat16", gelu_approximate=True, fast_ln=fl, fast_softmax=fs)
     dad_cfg = dad_preset("iemocap", batch_size=B, warmup_epochs=1,
                          ecda_start_epoch=1, epochs=500)
-    cfg = FusedConfig(encoder=enc_cfg, dad=dad_cfg, inject_snr_db=10.0)
+    cached = os.environ.get("CACHED", "0") == "1"
+    cfg = FusedConfig(encoder=enc_cfg, dad=dad_cfg, inject_snr_db=10.0,
+                      cache_clean_features=cached)
     encoder, enc_params, head, tx, state = init_fused(cfg, jax.random.PRNGKey(0), example_len=T)
     step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
 
@@ -58,6 +60,12 @@ def run_and_trace(logdir):
         )
 
     clean, noisy = batch(True), batch(False)
+    if cached:
+        from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+            precompute_clean_features,
+        )
+        clean = jax.jit(lambda p, c: precompute_clean_features(encoder, p, cfg, c))(enc_params, clean)
+        float(jnp.sum(clean.feats))
     scalars = StepScalars.for_epoch(dad_cfg, 40)
     anchors = jnp.zeros(4)
 
