@@ -276,7 +276,13 @@ class PredictionServer:
                 except Exception as e:  # noqa: BLE001 — report, don't crash
                     self._json(500, {"error": str(e)})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # socketserver's default listen backlog of 5 RSTs connections
+            # under bursty concurrent load (the whole point of micro-batching)
+            request_queue_size = 128
+            daemon_threads = True
+
+        self._httpd = Server((host, port), Handler)
         self.host, self.port = self._httpd.server_address[:2]
 
     def health(self) -> Dict[str, Any]:

@@ -251,3 +251,27 @@ def test_fallback_survives_totally_corrupt_file(tmp_path):
     assert rc == 0  # verify runs over the files that succeeded
     assert (tmp_path / "noisy" / rels[1]).exists()
     assert not (tmp_path / "noisy" / rels[0]).exists()
+
+
+def test_fuzzed_wav_headers_never_crash(tmp_path):
+    # random mutations of a valid header must produce status codes, not
+    # crashes (bounds-checked chunk parsing in native/inject.cc)
+    rng = np.random.default_rng(0)
+    _, ins = _make_tree(str(tmp_path / "clean"), n_files=1)
+    with open(ins[0], "rb") as f:
+        good = bytearray(f.read())
+    ins_f, outs_f = [], []
+    for i in range(40):
+        buf = bytearray(good)
+        n_mut = int(rng.integers(1, 6))
+        for _ in range(n_mut):
+            pos = int(rng.integers(0, min(len(buf), 200)))
+            buf[pos] = int(rng.integers(0, 256))
+        p = str(tmp_path / f"fuzz{i}.wav")
+        with open(p, "wb") as f:
+            f.write(bytes(buf))
+        ins_f.append(p)
+        outs_f.append(str(tmp_path / f"out{i}.wav"))
+    st = inject_files_native(ins_f, outs_f, 10.0)
+    # every file either processed or cleanly failed; the process survived
+    assert set(np.unique(st)).issubset({0, 1, 2})

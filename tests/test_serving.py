@@ -206,3 +206,40 @@ def test_http_bad_shapes_rejected_without_poisoning(predictor):
         assert code == 200 and out["label"] in predictor.class_names
     finally:
         server.shutdown()
+
+
+def test_http_concurrency_stress(predictor):
+    # 32 concurrent clients x 3 requests each: all succeed, order preserved
+    # per client, and the dispatcher coalesces into far fewer batches
+    server = PredictionServer(predictor, port=0, max_wait_ms=3.0)
+    server.start()
+    before = predictor.batches_run
+    try:
+        base = f"http://{server.host}:{server.port}"
+        errors = []
+
+        def client(cid):
+            try:
+                for r in range(3):
+                    req = urllib.request.Request(
+                        base + "/predict",
+                        data=json.dumps(
+                            {"features": _clip(6 + (cid + r) % 20, cid).tolist()}
+                        ).encode(),
+                    )
+                    with urllib.request.urlopen(req, timeout=60) as resp:
+                        out = json.loads(resp.read())
+                    assert out["label"] in predictor.class_names
+            except Exception as e:  # noqa: BLE001
+                errors.append((cid, e))
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(32)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:3]
+        ran = predictor.batches_run - before
+        assert ran < 96  # coalescing happened (96 = no batching at all)
+    finally:
+        server.shutdown()
