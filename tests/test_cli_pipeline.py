@@ -165,14 +165,16 @@ def test_sensitivity_cli(tmp_path, monkeypatch):
     from helpers import make_iemocap_dir
 
     monkeypatch.chdir(tmp_path)
-    clean = make_iemocap_dir(tmp_path / "clean", n=48, dim=8)
-    noisy = make_iemocap_dir(tmp_path / "noisy", n=48, dim=8, seed=5)
+    clean, *_ = make_iemocap_dir(tmp_path / "clean", n=48, dim=8)
+    noisy, *_ = make_iemocap_dir(tmp_path / "noisy", n=48, dim=8, seed=5)
     rc = cli([
         "sensitivity", "--corpus", "iemocap",
-        "--clean", str(clean), "--noisy", str(noisy),
+        "--clean", clean, "--noisy", noisy,
         "--knob", "WEIGHT_ECDA", "--values", "0.0,0.3",
         "--epochs", "3", "--output-dir", str(tmp_path / "sens"),
     ])
     assert rc == 0
     results = json.load(open(tmp_path / "sens" / "sensitivity_WEIGHT_ECDA.json"))
     assert len(results) == 2
+    # real sweep points, not swallowed failures
+    assert all("error" not in r for r in results), results
