@@ -121,6 +121,7 @@ class PaddedBatchIterator:
                     padded_idx, T
                 )
                 ids = padded_idx.astype(np.int32)
+                self._apply_frame_cap(feats, padding_mask)
                 yield Batch(feats, padding_mask, out_labels, ids, row_valid)
                 continue
 
@@ -140,7 +141,16 @@ class PaddedBatchIterator:
                 ids[row] = int(clip_idx)
                 row_valid[row] = True
 
+            self._apply_frame_cap(feats, padding_mask)
             yield Batch(feats, padding_mask, out_labels, ids, row_valid)
+
+    def _apply_frame_cap(self, feats: np.ndarray, padding_mask: np.ndarray) -> None:
+        """Enforces ``max_frames`` exactly: bucket rounding can pad T past
+        the cap, and clips were copied up to T — frames beyond the cap must
+        read as padding (reference max-length truncation semantics)."""
+        if self.max_frames is not None and feats.shape[1] > self.max_frames:
+            feats[:, self.max_frames:] = 0.0
+            padding_mask[:, self.max_frames:] = True
 
 
 def paired_epoch(

@@ -106,6 +106,12 @@ class WavCropDataset:
                         f"{path}: sample rate {sr} != {pcfg.sample_rate} "
                         "(run the audio format fixer first)"
                     )
+                audio = audio.astype(np.float32)
+                # fairseq RawAudioDataset normalizes the FULL clip in
+                # __getitem__ and crops in the collater — matching the
+                # extraction path, which also normalizes whole clips
+                if pcfg.normalize:
+                    audio = _normalize_clip(audio)
                 n = len(audio)
                 if n > crop:
                     s = int(rng.integers(0, n - crop + 1))
@@ -113,9 +119,6 @@ class WavCropDataset:
                     n = crop
                 else:
                     clip = audio
-                clip = clip.astype(np.float32)
-                if pcfg.normalize:
-                    clip = _normalize_clip(clip)
                 wav[row, :n] = clip
                 pad[row, :n] = False
             yield wav, pad
@@ -179,14 +182,34 @@ def run_d2v_pretrain(
     t0 = time.time()
     epoch = 0
     done = int(state.step) >= pcfg.max_steps
+    step = int(state.step)
     while not done:
         for wav, pad in prefetch(
             ds.batches(epoch, pcfg.batch_size), depth=2, to_device=True
         ):
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, wav, pad, key)
-            step = int(state.step)
-            if step % log_every == 0 or step == 1:
+            step += 1  # host-side counter: no device sync needed to count
+            # variance collapse guards, checked EVERY update (reference
+            # config.py:77-83 aborts on the offending update, not the next
+            # logging step); one small device_get per step — the loop was
+            # already synchronous per step
+            tvar, pvar = (
+                float(x)
+                for x in jax.device_get(
+                    (metrics["target_var"], metrics["pred_var"])
+                )
+            )
+            if step > pcfg.warmup_steps:
+                if tvar < pcfg.min_target_var:
+                    logger.error("target variance collapsed (%.4f < %.2f)",
+                                 tvar, pcfg.min_target_var)
+                    done = True
+                if pvar < pcfg.min_pred_var:
+                    logger.error("prediction variance collapsed (%.4f < %.2f)",
+                                 pvar, pcfg.min_pred_var)
+                    done = True
+            if step % log_every == 0 or step == 1 or done:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["step"] = step
                 last["wall_s"] = round(time.time() - t0, 1)
@@ -197,16 +220,6 @@ def run_d2v_pretrain(
                     step, last["loss"], last["d2v_loss"], last["cls_loss"],
                     last["target_var"], last["pred_var"], last["ema_decay"],
                 )
-                # variance collapse guards (reference config.py:77-83)
-                if step > pcfg.warmup_steps:
-                    if last["target_var"] < pcfg.min_target_var:
-                        logger.error("target variance collapsed (%.4f < %.2f)",
-                                     last["target_var"], pcfg.min_target_var)
-                        done = True
-                    if last["pred_var"] < pcfg.min_pred_var:
-                        logger.error("prediction variance collapsed (%.4f < %.2f)",
-                                     last["pred_var"], pcfg.min_pred_var)
-                        done = True
             if checkpoint_every and step % checkpoint_every == 0:
                 save_train_state(ckpt_path, state, metadata={"step": step})
             if step >= pcfg.max_steps or done:

@@ -181,7 +181,7 @@ class CrossDomainTrainer:
         ctr, cva, cte = corpus_fold_split(cfg.corpus, self.fold, clean_store.groups)
         ntr, nva, nte = corpus_fold_split(cfg.corpus, self.fold, noisy_store.groups)
 
-        def it(store, idx, shuffle, bs=None, labeled=True):
+        def it(store, idx, shuffle, bs=None, labeled=True, seed_offset=0):
             sub = store.subset(idx)
             if not labeled:
                 sub.labels = None  # SSL: labels withheld (dataload_noisy.py:214)
@@ -190,13 +190,19 @@ class CrossDomainTrainer:
                 bs or cfg.batch_size,
                 cfg.length_buckets,
                 shuffle=shuffle,
-                seed=cfg.random_seed,
+                seed=cfg.random_seed + seed_offset,
             )
 
         self.clean_train = it(clean_store, ctr, True)
         self.clean_val = it(clean_store, cva, False)
         self.clean_test = it(clean_store, cte, False)
-        self.noisy_train = it(noisy_store, ntr, True, labeled=False)
+        # NB: distinct shuffle stream — the clean and noisy stores list the
+        # same utterances in the same order, so a shared (seed, epoch)
+        # permutation would pair every clean batch with its own noise-added
+        # twin; the reference's two DataLoaders shuffle independently
+        # (train.py:479-483), making the clean/noisy pairing random.
+        self.noisy_train = it(noisy_store, ntr, True, labeled=False,
+                              seed_offset=7919)
         self.noisy_val = it(noisy_store, nva, False)
         self.noisy_test = it(noisy_store, nte, False)
         # calibration loaders at batch_size*2 (train.py:324-325): clean TRAIN
@@ -435,6 +441,10 @@ class CrossDomainTrainer:
                 "patience_counter": self.patience_counter,
                 "rng": np.asarray(self._rng).tolist(),
                 "anchors": np.asarray(self.anchors).tolist(),
+                # carry analysis artifacts so a resumed run writes COMPLETE
+                # training_history.json / confirmation_bias_log.json
+                "training_history": self.training_history,
+                "bias_analysis_log": self.bias_analysis_log,
             },
         )
 
@@ -452,6 +462,10 @@ class CrossDomainTrainer:
             self.patience_counter = meta["patience_counter"]
             self._rng = jnp.asarray(np.asarray(meta["rng"], dtype=np.uint32))
             self.anchors = jnp.asarray(np.asarray(meta["anchors"], np.float32))
+            if "training_history" in meta:
+                self.training_history = meta["training_history"]
+            if "bias_analysis_log" in meta:
+                self.bias_analysis_log = meta["bias_analysis_log"]
             start = int(meta["epoch"]) + 1
         else:
             start = 0
@@ -527,12 +541,17 @@ class CrossDomainTrainer:
         best_path = os.path.join(
             self.results_dir, "models", f"{self.cfg.corpus}_cross_domain_best.pth"
         )
-        if os.path.exists(best_path):
-            from ..models.convert import load_torch_file
+        if not os.path.exists(best_path):
+            # reference train.py:704-707: warn and skip — evaluating
+            # last-epoch weights would masquerade as a best-model result
+            logger.warning("no best checkpoint at %s; skipping test-set "
+                           "evaluation", best_path)
+            return None
+        from ..models.convert import load_torch_file
 
-            self.state = self.state._replace(
-                ssrl=torch_state_dict_to_ssrl(load_torch_file(best_path))
-            )
+        self.state = self.state._replace(
+            ssrl=torch_state_dict_to_ssrl(load_torch_file(best_path))
+        )
         clean_test = self.validate(self.clean_test, "Clean_Test")
         noisy_test = self.validate(self.noisy_test, "Noisy_Test")
         logger.info(
@@ -572,8 +591,6 @@ def run_cv(
     driver runs all folds and writes the ``final_summary_report.json`` the
     reference left commented out (train.py:797-800).
     """
-    from ..data.folds import corpus_fold_split  # noqa: F401 (doc pointer)
-
     n_folds = {"iemocap": 5, "casia": 4, "emodb": 10}[cfg.corpus]
     folds = list(folds) if folds is not None else list(range(n_folds))
     all_results = []

@@ -206,3 +206,86 @@ def test_dad_casia_and_emodb_presets(tmp_path, monkeypatch):
     tr_spk = {str(store.groups[i])[-2:] for i in tr}
     assert "10" not in tr_spk and "11" not in tr_spk
     assert {str(store.groups[i])[-2:] for i in tst} == {"10"}
+
+
+def test_clean_noisy_train_shuffles_are_independent(tmp_path, monkeypatch):
+    # the clean and noisy stores list the same utterances in the same order;
+    # a shared shuffle stream would pair every clean batch with its own
+    # noise-added twin (reference loaders shuffle independently,
+    # train.py:479-483)
+    monkeypatch.chdir(tmp_path)
+    clean, noisy = _stores(tmp_path, n=80, dim=12)
+    cfg = dad_preset("iemocap", input_dim=12, hidden_dim=8, batch_size=16,
+                     epochs=2, length_buckets=(32,))
+    trainer = CrossDomainTrainer(cfg, fold=0, clean_store=clean,
+                                 noisy_store=noisy)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.batching import (
+        paired_epoch,
+    )
+
+    aligned = total = 0
+    for cb, nb in paired_epoch(trainer.clean_train, trainer.noisy_train, 0):
+        aligned += int(np.array_equal(np.asarray(cb.ids), np.asarray(nb.ids)))
+        total += 1
+    assert total > 1
+    assert aligned < total, "clean/noisy batches are identically ordered"
+
+
+def test_max_frames_caps_valid_frames_exactly(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.batching import (
+        PaddedBatchIterator,
+    )
+
+    clean, _ = _stores(tmp_path, n=16, dim=12)
+    # clips are up to 24 frames; cap at 10 with a 32-bucket so bucket
+    # rounding exceeds the cap
+    it = PaddedBatchIterator(clean, 8, (32,), shuffle=False, max_frames=10)
+    for b in it:
+        valid = ~np.asarray(b.padding_mask)
+        assert valid.sum(axis=1).max() <= 10
+        assert np.all(np.asarray(b.feats)[:, 10:] == 0.0)
+
+
+def test_final_eval_skipped_without_best_checkpoint(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    clean, noisy = _stores(tmp_path, n=80, dim=12)
+    cfg = dad_preset("iemocap", input_dim=12, hidden_dim=8, batch_size=16,
+                     epochs=2, length_buckets=(32,))
+    trainer = CrossDomainTrainer(cfg, fold=0, clean_store=clean,
+                                 noisy_store=noisy)
+    # no training ran, no best checkpoint: must skip, not evaluate
+    # last-epoch weights as a "best-model" result (reference train.py:704-707)
+    assert trainer._evaluate_on_test_set() is None
+    assert not os.path.exists(
+        os.path.join(trainer.results_dir, "reports",
+                     "FINAL_test_set_results.json")
+    )
+
+
+def test_resume_preserves_training_history(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    clean, noisy = _stores(tmp_path, n=80, dim=12)
+
+    def mk():
+        cfg = dad_preset(
+            "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=4,
+            warmup_epochs=1, ecda_start_epoch=1, weight_ramp_epochs=2,
+            validation_interval=1, length_buckets=(32,),
+            num_tracked_samples=10,
+        )
+        return CrossDomainTrainer(cfg, fold=0, clean_store=clean,
+                                  noisy_store=noisy)
+
+    t1 = mk()
+    t1.train(checkpoint_interval=1)
+    full_hist = json.load(open(os.path.join(
+        t1.results_dir, "reports", "training_history.json")))
+    n_epochs_full = len(full_hist["total_loss"])
+
+    # fresh trainer resuming from the final checkpoint must carry the whole
+    # history forward (not just post-resume epochs)
+    t2 = mk()
+    start = t2.try_resume()
+    assert start > 0
+    assert len(t2.training_history["total_loss"]) == n_epochs_full
+    assert t2.bias_analysis_log  # bias log carried too
