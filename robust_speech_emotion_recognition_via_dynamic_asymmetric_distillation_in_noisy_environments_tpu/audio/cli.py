@@ -128,7 +128,8 @@ def inject(args: argparse.Namespace) -> int:
                 ok_count, args.output_root, engine)
 
     if args.verify:
-        done = [r for r in relpaths if r not in set(failed)]
+        failed_set = set(failed)
+        done = [r for r in relpaths if r not in failed_set]
         ok, results = verify_noise_injection(
             args.input_root,
             args.output_root,

@@ -29,6 +29,29 @@ def estimate_snr(clean: np.ndarray, noisy: np.ndarray) -> float:
     return float(10.0 * np.log10(signal_power / noise_power))
 
 
+def estimate_snr_scale_corrected(
+    clean: np.ndarray, noisy: np.ndarray
+) -> Tuple[float, float]:
+    """(achieved SNR, fitted scale): least-squares fit of
+    ``noisy ~ alpha * clean`` undoes the mixer's peak normalization
+    (``noisy = (clean + noise)/p`` when the raw mix clips), which shifts the
+    naive noisy-minus-clean estimate by up to ~+3 dB for loud clips at low
+    SNR. For unnormalized mixes alpha ~ 1 and this reduces to the naive
+    estimator."""
+    n = min(len(clean), len(noisy))
+    clean, noisy = clean[:n], noisy[:n]
+    cc = float(np.dot(clean, clean))
+    if cc <= 0:
+        return float("inf"), 1.0
+    alpha = float(np.dot(noisy, clean) / cc)
+    noise = noisy - alpha * clean
+    signal_power = np.mean((alpha * clean) ** 2)
+    noise_power = np.mean(noise**2)
+    if noise_power <= 0:
+        return float("inf"), alpha
+    return float(10.0 * np.log10(signal_power / noise_power)), alpha
+
+
 def verify_noise_injection(
     clean_root: str,
     noisy_root: str,
@@ -54,13 +77,24 @@ def verify_noise_injection(
         clean, _ = read_wav(os.path.join(clean_root, rel))
         noisy, _ = read_wav(os.path.join(noisy_root, rel))
         snr = estimate_snr(clean, noisy)
-        results.append((rel, snr))
         if abs(snr - target_snr_db) > tolerance_db:
-            logger.warning(
-                "SNR off target for %s: achieved %.2f dB vs target %.2f dB",
-                rel,
-                snr,
-                target_snr_db,
-            )
-            ok = False
+            # the naive estimate is biased for peak-normalized mixes; re-judge
+            # with the scale-corrected estimator before failing the gate
+            corrected, alpha = estimate_snr_scale_corrected(clean, noisy)
+            if alpha < 0.995 and abs(corrected - target_snr_db) <= tolerance_db:
+                logger.info(
+                    "%s: naive SNR %.2f dB off target but mix was "
+                    "peak-normalized (scale %.3f); corrected %.2f dB is "
+                    "within tolerance", rel, snr, alpha, corrected,
+                )
+                snr = corrected
+            else:
+                logger.warning(
+                    "SNR off target for %s: achieved %.2f dB vs target %.2f dB",
+                    rel,
+                    snr,
+                    target_snr_db,
+                )
+                ok = False
+        results.append((rel, snr))
     return ok, results

@@ -25,6 +25,10 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         frames = w.readframes(w.getnframes())
     if sampwidth == 4 and _looks_float(path):
         data = np.frombuffer(frames, dtype=np.float32).astype(np.float64)
+    elif sampwidth == 1:
+        # WAV stores 8-bit PCM UNSIGNED with a 128 offset (silence = 0x80)
+        data = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0)
+        data /= 128.0
     else:
         dtype = _PCM_DTYPES[sampwidth]
         data = np.frombuffer(frames, dtype=dtype).astype(np.float64)

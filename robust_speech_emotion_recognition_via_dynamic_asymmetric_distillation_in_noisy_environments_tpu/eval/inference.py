@@ -27,7 +27,7 @@ from ..models.convert import load_torch_file, torch_state_dict_to_ssrl
 from ..models.heads import DADHead
 from ..utils import dump_json, get_logger
 from .metrics import evaluate_domain
-from .reports import save_confusion_matrices, save_per_class_bars
+from .reports import save_per_class_bars, save_single_confusion
 
 logger = get_logger(__name__)
 
@@ -141,9 +141,9 @@ class CrossDomainInference:
         }
         dump_json(summary, os.path.join(self.output_dir, "inference_results.json"))
         save_per_class_bars(self.output_dir, results, self.cfg.class_names)
-        save_confusion_matrices(
-            self.output_dir, results, results, 0, self.cfg.class_names,
-            os.path.basename(self.test_data_dir),
+        save_single_confusion(
+            self.output_dir, results, self.cfg.class_names,
+            f"Inference ({os.path.basename(self.test_data_dir)})",
         )
         logger.info(
             "inference done: acc %.2f%% WA %.2f%% (n=%d)",

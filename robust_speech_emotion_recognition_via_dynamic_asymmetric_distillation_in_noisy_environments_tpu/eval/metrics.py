@@ -56,7 +56,12 @@ def f1_scores(y_true, y_pred, num_classes: int) -> Dict[str, float]:
     )
     total = support.sum()
     weighted = float((f1 * support).sum() / total) if total else 0.0
-    macro = float(f1.mean())
+    # sklearn with labels=None averages over the union of labels OBSERVED in
+    # y_true/y_pred (the reference calls f1_score(average='macro') with no
+    # labels arg, train.py:560) — classes absent from both sets don't count
+    observed = np.zeros(num_classes, dtype=bool)
+    observed[np.unique(np.concatenate([np.asarray(y_true), np.asarray(y_pred)]).astype(np.int64))] = True
+    macro = float(f1[observed].mean()) if observed.any() else 0.0
     return {"weighted": weighted, "macro": macro}
 
 

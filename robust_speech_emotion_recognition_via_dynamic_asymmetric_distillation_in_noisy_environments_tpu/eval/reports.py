@@ -216,3 +216,40 @@ def save_confusion_matrices(
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
+
+
+def save_single_confusion(
+    out_dir: str,
+    results: Dict,
+    class_names: Sequence[str],
+    title: str,
+    filename: str = "confusion_matrix.png",
+) -> Optional[str]:
+    """One-panel confusion heatmap — for single-dataset runs (inference),
+    where the two-panel clean/noisy layout would just duplicate the data."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover
+        return None
+
+    fig, ax = plt.subplots(figsize=(8, 7))
+    cm = np.asarray(results["confusion_matrix"])
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(class_names)), class_names)
+    ax.set_yticks(range(len(class_names)), class_names)
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, str(cm[i, j]), ha="center", va="center")
+    ax.set_title(
+        f"{title}\nAcc: {results['accuracy']:.2f}%, "
+        f"W-Acc: {results['weighted_accuracy']:.2f}%"
+    )
+    fig.colorbar(im, ax=ax)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, filename)
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path

@@ -115,13 +115,10 @@ class EmotionPredictor:
         clip: {label, label_id, probs}."""
         order = np.argsort([len(c) for c in clips], kind="stable")
         results: List[Optional[Dict[str, Any]]] = [None] * len(clips)
-        B = self.batch_size
-        for start in range(0, len(order), B):
-            idx = order[start : start + B]
-            group = [np.asarray(clips[i], np.float32) for i in idx]
+        def run(group):
             T = _bucket(max(len(c) for c in group), self.frame_buckets)
-            feats = np.zeros((B, T, self.cfg.input_dim), np.float32)
-            mask = np.ones((B, T), bool)
+            feats = np.zeros((self.batch_size, T, self.cfg.input_dim), np.float32)
+            mask = np.ones((self.batch_size, T), bool)
             for row, c in enumerate(group):
                 t = min(len(c), T)
                 feats[row, :t] = c[:t]
@@ -129,20 +126,9 @@ class EmotionPredictor:
             _preds, logits = self._eval(
                 self._params, jnp.asarray(feats), jnp.asarray(mask)
             )
-            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-            for row, i in enumerate(idx):
-                k = int(np.argmax(probs[row]))
-                results[int(i)] = {
-                    "label": self.class_names[k],
-                    "label_id": k,
-                    "probs": {
-                        name: float(probs[row, j])
-                        for j, name in enumerate(self.class_names)
-                    },
-                }
-            self.batches_run += 1
-        self.requests_served += len(clips)
-        return results  # type: ignore[return-value]
+            return logits
+
+        return self._predict_grouped(clips, order, results, run)
 
     def predict_wavs(self, wavs: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
         if self.extractor is None:
@@ -152,20 +138,29 @@ class EmotionPredictor:
         clips = [np.asarray(w, np.float32) for w in wavs]
         order = np.argsort([len(c) for c in clips], kind="stable")
         results: List[Optional[Dict[str, Any]]] = [None] * len(clips)
-        B = self.batch_size
-        for start in range(0, len(order), B):
-            idx = order[start : start + B]
-            group = [clips[i] for i in idx]
+
+        def run(group):
             T = _bucket(max(len(c) for c in group), self.extractor.buckets)
-            wav = np.zeros((B, T), np.float32)
-            mask = np.ones((B, T), bool)
+            wav = np.zeros((self.batch_size, T), np.float32)
+            mask = np.ones((self.batch_size, T), bool)
             for row, c in enumerate(group):
                 wav[row, : len(c)] = c
                 mask[row, : len(c)] = False
-            logits = self._wav_eval(
+            return self._wav_eval(
                 self.extractor.params, self._params,
                 jnp.asarray(wav), jnp.asarray(mask),
             )
+
+        return self._predict_grouped(clips, order, results, run)
+
+    def _predict_grouped(self, clips, order, results, run_batch):
+        """Shared length-sorted micro-batch loop: calls ``run_batch(group)``
+        per B-chunk for logits and assembles per-clip result dicts in the
+        caller's original order."""
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            logits = run_batch([clips[i] for i in idx])
             probs = np.asarray(jax.nn.softmax(logits, axis=-1))
             for row, i in enumerate(idx):
                 k = int(np.argmax(probs[row]))
@@ -179,7 +174,7 @@ class EmotionPredictor:
                 }
             self.batches_run += 1
         self.requests_served += len(clips)
-        return results  # type: ignore[return-value]
+        return results
 
 
 class _WorkItem:

@@ -49,16 +49,32 @@ def sample_span_mask(
     mask_prob: float,
     mask_length: int,
     inverse_mask: bool = False,
+    lengths: Optional[jax.Array] = None,
 ) -> tuple:
     """Span mask with exactly the same masked count per row.
 
     Returns (mask (B,T) bool, num_masked int). ``inverse_mask`` masks the
-    complement of (1-p) spans (base.py:383-402)."""
+    complement of (1-p) spans (base.py:383-402).
+
+    ``lengths`` (B,) restricts span starts and equalization fills to each
+    row's valid frames, like fairseq's compute_mask_indices which receives
+    the padding mask (base.py:385: sz excludes padded frames) — without it,
+    heavily padded rows spend most of the mask budget on padding. The
+    masked COUNT stays a trace-time constant (static shapes); rows shorter
+    than the budget overflow into padding, which the d2v loss already
+    filters (w_frame = mask & ~padding)."""
     p = 1.0 - mask_prob if inverse_mask else mask_prob
     n_spans, n_masked = span_mask_counts(t, p, mask_length)
     key_s, key_f = jax.random.split(key)
     # span starts without replacement over [0, T - L]
-    noise = jax.random.uniform(key_s, (batch, t - mask_length + 1))
+    n_starts = t - mask_length + 1
+    noise = jax.random.uniform(key_s, (batch, n_starts))
+    if lengths is not None:
+        start_pos = jnp.arange(n_starts)
+        valid_start = start_pos[None, :] < jnp.maximum(
+            lengths[:, None] - mask_length + 1, 1
+        )
+        noise = noise + 2.0 * (~valid_start)  # invalid starts rank last
     starts = jnp.argsort(noise, axis=1)[:, :n_spans]  # (B, S)
     pos = jnp.arange(t)
     inside = (pos[None, None, :] >= starts[:, :, None]) & (
@@ -66,9 +82,11 @@ def sample_span_mask(
     )
     union = inside.any(axis=1)  # (B, T) — may cover < n_masked due to overlap
     # equalize each row up to exactly n_masked: union positions always win the
-    # ranking; random unmasked positions fill the remainder
+    # ranking; random unmasked VALID positions fill, padding only overflows
     fill = jax.random.uniform(key_f, (batch, t))
     score = union.astype(jnp.float32) * 2.0 + fill
+    if lengths is not None:
+        score = score - 8.0 * (pos[None, :] >= lengths[:, None])
     ranks = jnp.argsort(jnp.argsort(-score, axis=1), axis=1)
     mask = ranks < n_masked
     if inverse_mask:

@@ -38,6 +38,7 @@ tests/test_d2v_pretrain.py).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -320,8 +321,11 @@ def _ema_keys(cfg: EncoderConfig, pcfg: D2vPretrainConfig, tree: dict):
 
 def init_ema_blocks(params, cfg: EncoderConfig, pcfg: D2vPretrainConfig):
     p = params["params"]
+    # copy=True: astype on an already-f32 leaf would ALIAS the student
+    # buffer, and the donated train step may not receive the same buffer
+    # twice (params + ema_blocks)
     return {
-        k: jax.tree.map(lambda a: a.astype(jnp.float32), p[k])
+        k: jax.tree.map(lambda a: jnp.array(a, jnp.float32, copy=True), p[k])
         for k in _ema_keys(cfg, pcfg, p)
     }
 
@@ -387,7 +391,7 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
     cfg, pcfg = model.cfg, model.pcfg
 
     def loss_fn(params, ema_blocks, wav, wav_pad, key, step):
-        k_mask, k_drop, k_tok, k_din = jax.random.split(key, 4)
+        k_mask, k_drop, k_tok, k_din, k_dtok = jax.random.split(key, 5)
 
         x_local, frame_mask = model.apply(
             params, wav, wav_pad, method=D2vPretrainModel.local_features
@@ -420,11 +424,16 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
 
         # --- mask + remove masked tokens ---
         if pcfg.mask_length == 1:
+            # fairseq's MAE path (random_masking, base.py:486-519) does NOT
+            # restrict to valid frames — keep that behavior
             mask, n_masked = sample_random_mask(k_mask, b * m, t, pcfg.mask_prob)
         else:
+            # the span path DOES: compute_mask_indices receives padding_mask
+            # (base.py:385), so spans land on valid frames
             mask, n_masked = sample_span_mask(
                 k_mask, b * m, t, pcfg.mask_prob, pcfg.mask_length,
                 pcfg.inverse_mask,
+                lengths=(~fm_rep).sum(axis=1),
             )
         info = make_mask_info(mask, n_masked)
         x_masked = apply_mask(
@@ -447,7 +456,9 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
         if rate > 0:
             keep = jax.random.bernoulli(k_din, 1.0 - rate, x_enc.shape)
             x_enc = jnp.where(keep, x_enc / (1.0 - rate), 0.0).astype(x_enc.dtype)
-        dec_in = restore_with_mask_tokens(x_enc, info, pcfg.mask_noise_std, k_tok)
+        # independent stream from apply_mask's replacement noise (same-key
+        # draws would correlate decoder mask tokens with encoder inputs)
+        dec_in = restore_with_mask_tokens(x_enc, info, pcfg.mask_noise_std, k_dtok)
         pred = model.apply(params, dec_in, method=D2vPretrainModel.decode)
 
         # --- losses ---
@@ -472,7 +483,7 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
         }
         return total, metrics
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: D2vTrainState, wav, wav_pad, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.ema_blocks, wav, wav_pad, key, state.step

@@ -261,7 +261,14 @@ class AltAttention(nn.Module):
         qkv = qkv.reshape(B, N, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
 
-        if self.use_flash and bias is None and not self.cosine_attention:
+        # the Pallas kernel computes softmax internally and cannot drop
+        # attention weights; when training with attention dropout active we
+        # must take the XLA path or silently lose regularization
+        flash_ok = (
+            self.use_flash and bias is None and not self.cosine_attention
+            and (deterministic or self.attn_drop == 0.0)
+        )
+        if flash_ok:
             from ..ops.attention import flash_attention
 
             out = flash_attention(

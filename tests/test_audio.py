@@ -199,3 +199,36 @@ def test_cli_missing_noise_file_errors(tmp_path):
             str(tmp_path / "o"), "--snr_db", "10",
             "--manifest_path", str(manifest), "--noise_root", str(empty_noise),
         ])
+
+
+def test_verify_tolerates_peak_normalized_mixes(tmp_path):
+    """A loud clip at low SNR gets peak-normalized by the mixer; the naive
+    noisy-minus-clean estimate shifts by several dB, but the verify gate
+    must pass via the scale-corrected estimator."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.noise import (
+        add_white_noise_np,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.verify import (
+        verify_noise_injection,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "clean")
+    os.makedirs(tmp_path / "noisy")
+    rels = []
+    for i in range(4):
+        rel = f"loud{i}.wav"
+        clean = _tone(amp=0.95, f=200.0 + 60 * i)  # peak near full scale
+        noisy = add_white_noise_np(clean, 0.0, rng)  # 0 dB forces clipping
+        assert np.max(np.abs(clean + (noisy * 0))) <= 1.0
+        write_wav(str(tmp_path / "clean" / rel), clean, 16000)
+        write_wav(str(tmp_path / "noisy" / rel), noisy, 16000)
+        rels.append(rel)
+    ok, results = verify_noise_injection(
+        str(tmp_path / "clean"), str(tmp_path / "noisy"), rels, 0.0,
+        tolerance_db=2.0,
+    )
+    assert ok, results

@@ -283,6 +283,9 @@ def tiny_state():
 
 def test_train_step_learns_and_updates_ema(tiny_state, rng):
     cfg, pcfg, model, tx, state = tiny_state
+    # the step donates its input state; copy so the module-scoped fixture
+    # survives for later tests
+    state = jax.tree.map(jnp.copy, state)
     step = make_d2v_train_step(model, tx)
     wav = rng.normal(size=(4, 64)).astype(np.float32)
     pad = np.zeros((4, 64), bool)
@@ -353,7 +356,8 @@ def test_sharded_d2v_step_matches_single(rng):
     key = jax.random.PRNGKey(7)
 
     step1 = make_d2v_train_step(model, tx)
-    s1, m1 = step1(state, wav, pad, key)
+    # donated input: keep the original state alive for the sharded run
+    s1, m1 = step1(jax.tree.map(jnp.copy, state), wav, pad, key)
 
     mesh = make_mesh(8, tp=1, axis_names=("dp",))
     step8 = make_sharded_d2v_step(model, tx, mesh)
@@ -455,3 +459,29 @@ def test_d2v_optimizer_warmup_longer_than_run():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
     assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_span_mask_restricted_to_valid_frames():
+    # fairseq's compute_mask_indices receives the padding mask; spans and
+    # equalization fills must land on valid frames when lengths are passed
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_masking import (
+        sample_span_mask,
+    )
+
+    B, T = 8, 100
+    lengths = jnp.asarray([100, 80, 60, 40, 30, 25, 100, 50])
+    mask, n_masked = sample_span_mask(
+        jax.random.PRNGKey(0), B, T, 0.3, 5, lengths=lengths
+    )
+    assert mask.shape == (B, T)
+    assert int(mask.sum(axis=1)[0]) == n_masked  # exact static count per row
+    pos = np.arange(T)
+    m = np.asarray(mask)
+    for i, L in enumerate(np.asarray(lengths)):
+        in_pad = m[i, pos >= L].sum()
+        # rows with enough valid frames must not spend budget on padding
+        if L >= n_masked:
+            assert in_pad == 0, f"row {i}: {in_pad} masked frames in padding"
+    # rows shorter than the budget overflow (static count preserved)
+    short = int(np.argmin(np.asarray(lengths)))
+    assert m[short].sum() == n_masked

@@ -89,3 +89,19 @@ def test_report_schema(tmp_path, rng):
     assert fdata["comparison_with_validation"][
         "validation_best_noisy_weighted_acc"
     ] == "55.50%"
+
+
+def test_macro_f1_excludes_absent_classes():
+    # sklearn with labels=None averages over labels observed in y_true or
+    # y_pred only (the reference never passes labels=)
+    from sklearn.metrics import f1_score as sk_f1
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.eval.metrics import (
+        f1_scores,
+    )
+
+    y_true = np.array([0, 0, 1, 1, 2])
+    y_pred = np.array([0, 1, 1, 1, 2])  # class 3 absent from both
+    ours = f1_scores(y_true, y_pred, num_classes=4)
+    want = sk_f1(y_true, y_pred, average="macro", zero_division=0)
+    assert abs(ours["macro"] - want) < 1e-12
