@@ -164,7 +164,9 @@ def make_dad_train_step(head: DADHead, tx: optax.GradientTransformation, cfg: DA
 
         # --- weak/strong views of the same noisy batch (train.py:405-406) ---
         noisy_weak = weak_augment(k_weak, noisy.feats, cfg.augment)
-        noisy_strong = strong_augment(k_strong, noisy.feats, cfg.augment)
+        noisy_strong = strong_augment(
+            k_strong, noisy.feats, cfg.augment, padding_mask=noisy.padding_mask
+        )
 
         # teacher forward, no grad, no dropout (train.py:408-410)
         teacher_logits, _ = head.apply(

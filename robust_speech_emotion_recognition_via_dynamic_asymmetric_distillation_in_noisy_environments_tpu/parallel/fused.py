@@ -157,7 +157,9 @@ def make_fused_extract_train_step(
         ce = smoothed_ce(clean_logits, clean.labels, clean.row_valid, smoothing)
 
         weak = weak_augment(k_w, noisy_feats, dad.augment)
-        strong = strong_augment(k_s, noisy_feats, dad.augment)
+        strong = strong_augment(
+            k_s, noisy_feats, dad.augment, padding_mask=noisy_fmask
+        )
         teacher_logits, _ = head.apply(
             jax.lax.stop_gradient(teacher), weak, noisy_fmask, deterministic=True
         )

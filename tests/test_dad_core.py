@@ -314,3 +314,38 @@ def test_augmentations(rng):
         assert len(runs) >= 4
     # statistically some channels dropped (rate 0.1 over 32 channels)
     assert 0 <= zero_channels.sum() <= 12
+
+
+def test_strong_augment_mask_uses_batch_max_not_bucket(rng):
+    """Bucket padding must not lengthen the temporal mask: mask length and
+    start derive from the batch's valid max (the reference's collated t),
+    and masks never start inside pure padding."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        AugmentConfig,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.dad.augment import (
+        strong_augment,
+    )
+
+    B, T, D = 4, 64, 3  # bucket T=64, but the longest clip is 40 frames
+    lengths = np.array([40, 30, 20, 35])
+    x = jnp.asarray(np.full((B, T, D), 5.0, np.float32))
+    pm = np.ones((B, T), bool)
+    for i, L in enumerate(lengths):
+        pm[i, :L] = False
+    cfg = AugmentConfig(strong_noise_std=0.0, feature_dropout_rate=0.0,
+                        temporal_mask_ratio=0.1)
+    zero_rows = []
+    for s in range(40):
+        out = np.asarray(
+            strong_augment(jax.random.PRNGKey(s), x, cfg,
+                           padding_mask=jnp.asarray(pm))
+        )
+        masked = out[:, :, 0] == 0.0
+        # mask length int(40 * 0.1) = 4 (NOT int(64*0.1)=6)
+        assert masked.sum(axis=1).max() == 4
+        # and the mask never starts beyond valid_max
+        assert not masked[:, 40:].any() or masked[:, :40].any()
+        zero_rows.append(masked.any(axis=1))
+    # all rows get masked sometimes (start < t_valid for every row length)
+    assert np.stack(zero_rows).any(axis=0).all()
