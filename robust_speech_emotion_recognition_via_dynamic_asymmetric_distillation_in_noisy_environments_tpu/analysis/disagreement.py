@@ -26,8 +26,17 @@ from .common import get_pyplot, linregress_stats, load_history, pearsonr, savefi
 
 
 def _epochs_for(n: int, warmup: int, interval: int) -> List[int]:
-    """Epoch of the i-th validation (reference analyze_disagreement.py:57)."""
-    return [warmup + (i + 1) * interval for i in range(n)]
+    """Epoch of the i-th recorded disagreement point.
+
+    Disagreement is recorded on post-warmup noisy validations, which run
+    EVERY epoch (the dead-interval quirk, train.py:642) — so point i is
+    epoch ``warmup + i + 1``. NB deliberate deviation: the reference's
+    analyzer assumes interval-spaced validations
+    (analyze_disagreement.py:57, ``warmup + (i+1)*interval``), stretching
+    its own epoch axis by ~interval x against its own trainer's cadence;
+    ``interval`` is kept in the signature for compatibility but unused."""
+    del interval
+    return [warmup + i + 1 for i in range(n)]
 
 
 def _domain_stats(rates: np.ndarray) -> Dict:

@@ -35,6 +35,16 @@ def run_noise_grid(
     """Returns one record per condition: {name, wav_dir, feature_dir}."""
     import argparse
 
+    typed = [t for t in (noise_types or []) if t not in (None, "white")]
+    if (typed or root2) and not noise_root:
+        # without the NOISEX bank the injector would fall back to WHITE noise
+        # while the output trees still carry the requested type names —
+        # silently mislabeling every downstream result
+        raise ValueError(
+            "noise_root is required for typed noise conditions "
+            f"({typed or 'root2'}); white-noise grids use noise_types=None"
+        )
+
     results = []
     conditions = []
     if root2:

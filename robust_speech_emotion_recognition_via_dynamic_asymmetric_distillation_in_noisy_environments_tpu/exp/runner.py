@@ -49,6 +49,17 @@ def run_single_experiment(
     pretrain_params=None,
 ) -> Dict[str, Any]:
     cfg = apply_overrides(base_cfg, overrides)
+    # a data-dir override is silently dead when a preloaded store is passed
+    # (the trainer only reads cfg.*_data_dir with store=None) — every noise
+    # condition would train on the same data while labeled differently
+    if noisy_store is not None and "NOISY_DATA_DIR" in overrides:
+        logger.info("NOISY_DATA_DIR override: reloading noisy store from %s",
+                    cfg.noisy_data_dir)
+        noisy_store = None
+    if clean_store is not None and "CLEAN_DATA_DIR" in overrides:
+        logger.info("CLEAN_DATA_DIR override: reloading clean store from %s",
+                    cfg.clean_data_dir)
+        clean_store = None
     logger.info("=== experiment %s (fold %d) overrides=%s ===", name, fold + 1, dict(overrides))
     trainer = CrossDomainTrainer(
         cfg,

@@ -511,11 +511,15 @@ class CrossDomainTrainer:
                 break
 
         self._save_analysis_data()
-        self._evaluate_on_test_set()
-        return {
+        final = self._evaluate_on_test_set()
+        out = {
             "best_noisy_weighted_acc": self.best_noisy_weighted_acc,
             "results_dir": self.results_dir,
         }
+        if final is not None:
+            # best-checkpoint test metrics (None when no best was ever saved)
+            out["clean_test"], out["noisy_test"] = final
+        return out
 
     def _save_analysis_data(self):
         dump_json(

@@ -178,16 +178,17 @@ def run_jax_side(pre_cfg, dad_cfg, clean_store, noisy_store, fold=0):
         noisy_store=noisy_store,
         pretrain_params=pre["params"],
     )
-    trainer.train()
-    # train() ends with _evaluate_on_test_set, which reloads the best
-    # checkpoint into trainer.state — evaluate test sets off that state.
-    clean_test = trainer.validate(trainer.clean_test, "CleanFinal")
-    noisy_test = trainer.validate(trainer.noisy_test, "NoisyFinal")
+    out = trainer.train()
+    if "noisy_test" not in out:
+        raise RuntimeError(
+            "no best checkpoint was saved — parity cannot score last-epoch "
+            "weights as a best-model result"
+        )
     return {
         "pretrain_test_wa": pre["test"]["weighted_accuracy"] * 100,
         "best_noisy_val_wa": trainer.best_noisy_weighted_acc,
-        "clean_test": clean_test,
-        "noisy_test": noisy_test,
+        "clean_test": out["clean_test"],
+        "noisy_test": out["noisy_test"],
     }
 
 

@@ -386,13 +386,29 @@ def pretrain_fold_torch(
         model.parameters(), lr=cfg.learning_rate, weight_decay=cfg.weight_decay
     )
     crit = nn.CrossEntropyLoss()
-    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
-        opt,
-        mode="min",
-        factor=cfg.lr_scheduler_factor,
-        patience=cfg.lr_scheduler_patience,
-        min_lr=cfg.lr_scheduler_min_lr,
-    )
+    # honor the configured scheduler (pretrain config.py LR_SCHEDULER_TYPE);
+    # the JAX side routes the same way in train/schedules.py
+    if cfg.lr_scheduler_type == "CosineAnnealingWarmRestarts":
+        sched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=cfg.cosine_t_0, T_mult=cfg.cosine_t_mult,
+            eta_min=cfg.cosine_eta_min,
+        )
+        plateau = False
+    elif cfg.lr_scheduler_type == "StepLR":
+        # same knob mapping as train/schedules.py:102-103
+        sched = torch.optim.lr_scheduler.StepLR(
+            opt, step_size=cfg.lr_scheduler_patience, gamma=cfg.lr_scheduler_factor
+        )
+        plateau = False
+    else:
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt,
+            mode="min",
+            factor=cfg.lr_scheduler_factor,
+            patience=cfg.lr_scheduler_patience,
+            min_lr=cfg.lr_scheduler_min_lr,
+        )
+        plateau = True
 
     def run_eval(loader):
         model.eval()
@@ -425,7 +441,10 @@ def pretrain_fold_torch(
             loss.backward()
             opt.step()
         val = run_eval(val_loader)
-        sched.step(val["loss"])
+        if plateau:
+            sched.step(val["loss"])
+        else:
+            sched.step()
         cur = val["weighted_accuracy"]
         if cur > best_metric:
             best_metric, best_state = cur, copy.deepcopy(model.state_dict())
