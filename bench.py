@@ -8,12 +8,19 @@ Adam + EMA) and reports clips processed per second per chip. B=64/stream
 is the measured optimum (PERFORMANCE.md batch sweep).
 
 Production configuration: ``cache_clean_features`` — the clean stream has
-no per-step randomness, so its features are extracted ONCE (charged to the
-timed loop via amortization-free inclusion of the precompute in warmup;
-the steady-state step re-extracts only the noisy stream, which changes
-every step via fresh on-device noise injection). Equivalence to the
-two-extraction step is proven in
+no per-step randomness, so its features are extracted ONCE outside the
+timed loop and the steady-state step re-extracts only the noisy stream
+(which changes every step via fresh on-device noise injection).
+Equivalence to the two-extraction step is proven in
 tests/test_parallel.py::test_cached_clean_features_matches_inline_extraction.
+
+Metric definition: clips/sec counts TRAINING CLIPS CONSUMED per second
+(2B per step: B labeled clean + B unlabeled noisy — the unit the DAD
+algorithm trains on). Of those, B/step are extracted on-device in steady
+state; the clean stream's one-time extraction is amortized across the
+run, exactly as the reference amortizes its offline extraction across 500
+epochs. The torch-CPU baseline is charged the same way (its per-clip
+extraction happens once per clip).
 
 ``vs_baseline`` compares against the reference implementation style measured
 on this host: the same encoder forward executed clip-by-clip in torch
@@ -174,7 +181,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "fused extract+DAD-train throughput (vs torch-CPU reference impl)",
+                "metric": "fused DAD train throughput, training clips consumed "
+                          "(noisy stream extracted on-device per step, clean "
+                          "features cached; vs torch-CPU reference impl)",
                 "value": round(tpu_cps, 2),
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(vs, 2) if vs else None,

@@ -13,6 +13,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -28,11 +29,41 @@ struct Store {
   size_t mapped_bytes = 0;
   void* map_base = nullptr;
   int64_t dim = 0;
+  int64_t rows = 0;
   std::vector<int64_t> sizes;
   std::vector<int64_t> offsets;
 };
 
+// ctypes releases the GIL, and the prefetch worker calls batch_assemble
+// while the main thread may open another store (e.g. the eval split) — the
+// registry must be synchronized. Store contents are immutable after
+// registration; closing a store while an assemble on it is in flight is a
+// caller-contract violation (the Python wrapper owns each handle's
+// lifecycle).
+std::mutex g_mu;
 std::vector<Store*> g_stores;
+
+int64_t register_store(Store* s) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  g_stores.push_back(s);
+  return static_cast<int64_t>(g_stores.size()) - 1;
+}
+
+Store* lookup_store(int64_t handle) {
+  std::lock_guard<std::mutex> lock(g_mu);
+  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size()))
+    return nullptr;
+  return g_stores[handle];
+}
+
+bool offsets_valid(const Store& s) {
+  for (size_t i = 0; i < s.sizes.size(); ++i) {
+    if (s.sizes[i] < 0 || s.offsets[i] < 0 ||
+        (s.rows > 0 && s.offsets[i] + s.sizes[i] > s.rows))
+      return false;
+  }
+  return true;
+}
 
 }  // namespace
 
@@ -50,6 +81,14 @@ int64_t store_open(const char* npy_path, int64_t header_offset, int64_t rows,
     close(fd);
     return -1;
   }
+  // the declared (rows, dim) region must fit inside the mapped file —
+  // truncated .npy or stale .lengths must fail at open, not SIGBUS mid-epoch
+  if (dim <= 0 || rows < 0 || header_offset < 0 ||
+      static_cast<int64_t>(st.st_size) <
+          header_offset + rows * dim * static_cast<int64_t>(sizeof(float))) {
+    close(fd);
+    return -1;
+  }
   void* base = mmap(nullptr, st.st_size, PROT_READ, MAP_SHARED, fd, 0);
   close(fd);
   if (base == MAP_FAILED) return -1;
@@ -61,11 +100,15 @@ int64_t store_open(const char* npy_path, int64_t header_offset, int64_t rows,
   s->data = reinterpret_cast<const float*>(
       reinterpret_cast<const char*>(base) + header_offset);
   s->dim = dim;
-  (void)rows;
+  s->rows = rows;
   s->sizes.assign(sizes, sizes + num_clips);
   s->offsets.assign(offsets, offsets + num_clips);
-  g_stores.push_back(s);
-  return static_cast<int64_t>(g_stores.size()) - 1;
+  if (!offsets_valid(*s)) {
+    munmap(base, st.st_size);
+    delete s;
+    return -1;
+  }
+  return register_store(s);
 }
 
 // Wraps an already-resident float32 array (e.g. the numpy buffer) — no IO.
@@ -77,19 +120,27 @@ int64_t store_wrap(const float* data, int64_t dim, const int64_t* sizes,
   s->mapped_bytes = 0;
   s->data = data;
   s->dim = dim;
+  s->rows = 0;  // caller-owned buffer: extent unknown here
   s->sizes.assign(sizes, sizes + num_clips);
   s->offsets.assign(offsets, offsets + num_clips);
-  g_stores.push_back(s);
-  return static_cast<int64_t>(g_stores.size()) - 1;
+  if (!offsets_valid(*s)) {
+    delete s;
+    return -1;
+  }
+  return register_store(s);
 }
 
 void store_close(int64_t handle) {
-  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return;
-  Store* s = g_stores[handle];
+  Store* s = nullptr;
+  {
+    std::lock_guard<std::mutex> lock(g_mu);
+    if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return;
+    s = g_stores[handle];
+    g_stores[handle] = nullptr;
+  }
   if (s == nullptr) return;
   if (s->map_base != nullptr) munmap(s->map_base, s->mapped_bytes);
   delete s;
-  g_stores[handle] = nullptr;
 }
 
 // Assembles one padded batch.
@@ -104,8 +155,7 @@ int batch_assemble(int64_t handle, const int64_t* indices, int64_t batch,
                    int64_t t_max, const int32_t* labels_in, float* feats,
                    uint8_t* padding_mask, int32_t* labels_out,
                    uint8_t* row_valid, int32_t n_threads) {
-  if (handle < 0 || handle >= static_cast<int64_t>(g_stores.size())) return -1;
-  Store* s = g_stores[handle];
+  Store* s = lookup_store(handle);
   if (s == nullptr) return -1;
   const int64_t dim = s->dim;
 

@@ -189,6 +189,12 @@ class NativeStore:
     ) -> "NativeStore":
         """mmap the .npy directly (zero-copy for huge stores)."""
         feats = np.load(npy_path, mmap_mode="r")
+        if feats.dtype != np.float32:
+            # the C side reinterprets raw bytes as float32 — anything else
+            # would be silently read as garbage features
+            raise ValueError(
+                f"{npy_path}: native store needs float32, got {feats.dtype}"
+            )
         obj = cls.__new__(cls)
         lib = _load()
         if lib is None:

@@ -69,8 +69,6 @@ class EmotionPredictor:
         self._eval = make_eval_step(self.head)
         self._wav_eval = None
         if extractor is not None:
-            import jax.numpy as _jnp
-
             enc = extractor.model
             enc_cfg = extractor.cfg
 
@@ -82,7 +80,7 @@ class EmotionPredictor:
                 x = normalize_wav(wav, wav_mask) if enc_cfg.normalize_input else wav
                 feats, frame_mask = enc.apply(enc_params, x, wav_mask)
                 logits, _ = self.head.apply(
-                    head_params, feats.astype(_jnp.float32), frame_mask,
+                    head_params, feats.astype(jnp.float32), frame_mask,
                     deterministic=True,
                 )
                 return logits
@@ -108,6 +106,9 @@ class EmotionPredictor:
             np.asarray(preds)  # host materialization = reliable sync here
         if self.extractor is not None:
             self.predict_wavs([np.zeros(self.extractor.buckets[0], np.float32)])
+        # warmup traffic must not skew the /healthz serving counters
+        self.requests_served = 0
+        self.batches_run = 0
         logger.info("predictor warm: %d head buckets", len(self.frame_buckets))
 
     def predict_features(self, clips: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
@@ -348,15 +349,22 @@ class PredictionServer:
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:
+        # stop accepting first: a handler that enqueues after the drain
+        # would otherwise hang its client for the full future timeout
+        self._httpd.shutdown()
         self._stop.set()
         # fail anything still queued so blocked handler threads return
-        # immediately instead of waiting out their client timeout
-        while True:
-            try:
-                item = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not item.future.done():
-                item.future.set_exception(RuntimeError("server shutting down"))
-        self._httpd.shutdown()
+        # immediately instead of waiting out their client timeout; drain
+        # twice with a grace beat to catch requests parsed mid-shutdown
+        for _ in range(2):
+            while True:
+                try:
+                    item = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if not item.future.done():
+                    item.future.set_exception(
+                        RuntimeError("server shutting down")
+                    )
+            time.sleep(0.05)
         self._httpd.server_close()

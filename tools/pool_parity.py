@@ -43,6 +43,11 @@ def main(argv=None):
         d = json.load(open(path))
         m = d["metrics"][args.metric]
         deltas = np.asarray(m["jax_per_seed"]) - np.asarray(m["torch_per_seed"])
+        if len(deltas) < 2:
+            # std(ddof=1) of one sample is NaN and would poison the pooled
+            # inverse-variance weights for every corpus
+            print(f"skipping {corpus}: only {len(deltas)} seed(s)")
+            continue
         rows.append((corpus, deltas))
     if not rows:
         print("no parity reports found")
