@@ -128,6 +128,11 @@ class D2vPretrainConfig:
     inverse_mask: bool = False
     mask_noise_std: float = 0.01
     encoder_zero_mask: bool = True
+    # channel masking (base.py:27-28 + 456-469): span-mask embedding
+    # channels per clip and zero them across ALL timesteps, applied after
+    # the time mask, default off
+    mask_channel_prob: float = 0.0
+    mask_channel_length: int = 64
     clone_batch: int = 8  # d2v-2.0 multi-mask efficiency trick
     # targets (config.py:42-54)
     average_top_k_layers: int = 8

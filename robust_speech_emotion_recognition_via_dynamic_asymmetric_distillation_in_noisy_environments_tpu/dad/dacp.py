@@ -113,11 +113,15 @@ def fixed_threshold_mask(
     teacher_probs: jax.Array, row_valid: jax.Array, threshold: float
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """USE_DACP=False path (train.py:417-420): plain max-prob confidence with
-    a fixed threshold. Returns (mask, scores, class_weights=ones(C))."""
+    a fixed threshold. Returns (mask, scores, class_weights=ones(C)).
+
+    Contract (same as dacp_mask): ``scores`` are RAW per-row scores; validity
+    is carried by ``mask`` and applied at use sites (ECDA multiplies by the
+    selection mask, tracking filters by id), never baked into the scores."""
     scores = jnp.max(teacher_probs, axis=-1)
     mask = (scores >= threshold) & row_valid
     wce = jnp.ones((teacher_probs.shape[-1],), teacher_probs.dtype)
-    return mask, scores * row_valid, wce
+    return mask, scores, wce
 
 
 def dacp_epoch_update(state: DACPState, cfg: DACPConfig) -> DACPState:

@@ -49,10 +49,6 @@ def prefetch(
     (measured ~60 MB/s on this tunneled attach; PERFORMANCE.md). Opt-in: the
     round-trip quantizes inputs to bf16 precision.
     """
-    if depth <= 0:
-        yield from iterable
-        return
-
     if to_device or transfer_fp32_as:
         import jax
         import jax.numpy as jnp
@@ -70,6 +66,16 @@ def prefetch(
             return jax.device_put(x)
 
         to_device = True
+
+    if depth <= 0:
+        # synchronous degradation still honors to_device/transfer_fp32_as —
+        # depth only controls lookahead, not the transfer path
+        if to_device:
+            for item in iterable:
+                yield jax.tree_util.tree_map(_put, item)
+        else:
+            yield from iterable
+        return
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     stop = threading.Event()

@@ -56,13 +56,23 @@ class EmotionPredictor:
         batch_size: int = 16,
         frame_buckets: Sequence[int] = FRAME_BUCKETS,
         use_teacher: bool = False,
+        wav_transfer_dtype: str = "float32",
     ):
+        """``wav_transfer_dtype="int16"`` ships wav batches to the device as
+        int16 PCM and rescales to float on device — halving the host→device
+        bytes that dominate wav-serving latency on a thin device link
+        (PERFORMANCE.md). Lossless for audio that was int16 PCM at the
+        source (i.e. all real wav files); float inputs are quantized to
+        1/32768 resolution."""
+        if wav_transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"bad wav_transfer_dtype {wav_transfer_dtype!r}")
         self.cfg = cfg
         self.ssrl = ssrl
         self.extractor = extractor
         self.batch_size = batch_size
         self.frame_buckets = tuple(frame_buckets)
         self.use_teacher = use_teacher
+        self.wav_transfer_dtype = wav_transfer_dtype
         self.head = DADHead(
             cfg.input_dim, cfg.hidden_dim, cfg.num_classes, cfg.dropout_rate
         )
@@ -77,6 +87,9 @@ class EmotionPredictor:
                 # (the feature download dominated the split path's latency)
                 from ..models.emotion2vec import normalize_wav
 
+                if jnp.issubdtype(wav.dtype, jnp.integer):
+                    # int16 PCM transfer: rescale on device
+                    wav = wav.astype(jnp.float32) / 32768.0
                 x = normalize_wav(wav, wav_mask) if enc_cfg.normalize_input else wav
                 feats, frame_mask = enc.apply(enc_params, x, wav_mask)
                 logits, _ = self.head.apply(
@@ -132,17 +145,32 @@ class EmotionPredictor:
         return self._predict_grouped(clips, order, results, run)
 
     def predict_wavs(self, wavs: Sequence[np.ndarray]) -> List[Dict[str, Any]]:
+        """``wavs``: 1-D clips, float (samples in [-1, 1]) or int16 PCM.
+        The batch ships to the device in ``wav_transfer_dtype``."""
         if self.extractor is None:
             raise RuntimeError(
                 "no encoder loaded — pass --checkpoint to serve wav requests"
             )
-        clips = [np.asarray(w, np.float32) for w in wavs]
+        i16 = self.wav_transfer_dtype == "int16"
+        clips = []
+        for w in wavs:
+            w = np.asarray(w)
+            if w.dtype == np.int16:
+                clips.append(w if i16 else w.astype(np.float32) / 32768.0)
+            elif i16:
+                clips.append(
+                    np.clip(np.rint(np.asarray(w, np.float32) * 32768.0),
+                            -32768, 32767).astype(np.int16)
+                )
+            else:
+                clips.append(np.asarray(w, np.float32))
         order = np.argsort([len(c) for c in clips], kind="stable")
         results: List[Optional[Dict[str, Any]]] = [None] * len(clips)
+        batch_dtype = np.int16 if i16 else np.float32
 
         def run(group):
             T = _bucket(max(len(c) for c in group), self.extractor.buckets)
-            wav = np.zeros((self.batch_size, T), np.float32)
+            wav = np.zeros((self.batch_size, T), batch_dtype)
             mask = np.ones((self.batch_size, T), bool)
             for row, c in enumerate(group):
                 wav[row, : len(c)] = c
@@ -190,9 +218,10 @@ class _WorkItem:
 class PredictionServer:
     """Micro-batching HTTP server around an ``EmotionPredictor``.
 
-    POST /predict with a JSON body of either:
+    POST /predict with a JSON body of one of:
       {"features": [[...frame vectors...], ...]}   one clip, (t, dim)
-      {"wav": [...], "sr": 16000}                  one clip waveform
+      {"wav": [...], "sr": 16000}                  one clip waveform (floats)
+      {"pcm16": "<base64 LE int16>", "sr": 16000}  one clip, compact PCM
     Responds {"label": ..., "label_id": ..., "probs": {...}}.
 
     Requests from concurrent clients are coalesced: the dispatcher waits up
@@ -261,8 +290,24 @@ class PredictionServer:
                                 f"'wav' must be a 1-D sample list, got {arr.shape}"
                             )
                         item = _WorkItem("wav", arr)
+                    elif "pcm16" in req:
+                        # base64 little-endian int16 PCM: ~9x smaller on the
+                        # wire than the same samples as JSON floats, and the
+                        # int16 array rides to the device unconverted when
+                        # wav_transfer_dtype="int16"
+                        import base64
+
+                        raw = base64.b64decode(req["pcm16"], validate=True)
+                        if len(raw) < 2 or len(raw) % 2:
+                            raise ValueError(
+                                "'pcm16' must be base64 of >=1 little-endian"
+                                " int16 samples"
+                            )
+                        item = _WorkItem("wav", np.frombuffer(raw, "<i2"))
                     else:
-                        raise ValueError("body needs 'features' or 'wav'")
+                        raise ValueError(
+                            "body needs 'features', 'wav' or 'pcm16'"
+                        )
                 except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
@@ -286,6 +331,8 @@ class PredictionServer:
             "status": "ok",
             "classes": self.predictor.class_names,
             "wav_input": self.predictor.extractor is not None,
+            "pcm16_input": self.predictor.extractor is not None,
+            "wav_transfer_dtype": self.predictor.wav_transfer_dtype,
             "requests_served": self.predictor.requests_served,
             "batches_run": self.predictor.batches_run,
             "max_batch": self.max_batch,

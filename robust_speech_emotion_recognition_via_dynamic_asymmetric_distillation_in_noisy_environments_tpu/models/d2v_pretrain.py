@@ -391,7 +391,7 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
     cfg, pcfg = model.cfg, model.pcfg
 
     def loss_fn(params, ema_blocks, wav, wav_pad, key, step):
-        k_mask, k_drop, k_tok, k_din, k_dtok = jax.random.split(key, 5)
+        k_mask, k_drop, k_tok, k_din, k_dtok, k_chan = jax.random.split(key, 6)
 
         x_local, frame_mask = model.apply(
             params, wav, wav_pad, method=D2vPretrainModel.local_features
@@ -439,6 +439,18 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
         x_masked = apply_mask(
             x_rep, info, pcfg.encoder_zero_mask, pcfg.mask_noise_std, k_tok
         )
+        if pcfg.mask_channel_prob > 0:
+            # base.py:456-469: span-mask embedding channels per clip and
+            # zero them across all timesteps (applied after the time mask,
+            # before masked-token removal — channel zeros ride along on the
+            # kept tokens)
+            ch_mask, _ = sample_span_mask(
+                k_chan, b * m, d, pcfg.mask_channel_prob,
+                pcfg.mask_channel_length,
+            )
+            x_masked = x_masked * (
+                1.0 - ch_mask[:, None, :].astype(x_masked.dtype)
+            )
         x_pos = model.apply(
             params, x_masked, fm_rep, method=D2vPretrainModel.positional
         )

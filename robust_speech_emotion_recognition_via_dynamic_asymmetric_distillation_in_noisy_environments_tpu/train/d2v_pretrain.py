@@ -42,8 +42,11 @@ def _normalize_clip(wav: np.ndarray) -> np.ndarray:
 class WavCropDataset:
     """Random fixed-size crops over one or more wav manifests.
 
-    ``weights`` repeats corpora relative to each other (MultiCorpusDataset's
-    sampling weights, quantized to whole repeats per epoch)."""
+    ``weights`` scale how much of each corpus an epoch sees, mirroring
+    MultiCorpusDataset's fractional sampling: the integer part repeats the
+    corpus whole, and the fractional part draws a seeded per-epoch subset of
+    that fraction of its clips (so ``[1.0, 0.1]`` really down-samples corpus
+    2 to ~10% per epoch instead of rounding it up to a full repeat)."""
 
     def __init__(
         self,
@@ -53,8 +56,7 @@ class WavCropDataset:
         weights: Optional[Sequence[float]] = None,
     ):
         self.pcfg = pcfg
-        self.files: List[Tuple[str, int]] = []
-        base_lists = []
+        self.base_lists: List[List[Tuple[str, int]]] = []
         for d in manifest_dirs:
             root, files = read_manifest(d, split)
             kept = [
@@ -68,36 +70,62 @@ class WavCropDataset:
                     "%s: skipped %d clips under min_sample_size=%d",
                     d, skipped, pcfg.min_sample_size,
                 )
-            base_lists.append(kept)
+            self.base_lists.append(kept)
         if weights is None:
-            weights = [1.0] * len(base_lists)
-        for lst, w in zip(base_lists, weights):
-            reps = max(1, int(round(w)))
-            for _ in range(reps):
-                self.files.extend(lst)
-        if not self.files:
+            weights = [1.0] * len(self.base_lists)
+        if any(w <= 0 for w in weights):
+            raise ValueError(f"sampling weights must be positive: {weights}")
+        self.weights = [float(w) for w in weights]
+        if not self.files_for_epoch(0):
             raise ValueError("no usable clips in the given manifests")
 
-    def __len__(self) -> int:
-        return len(self.files)
+    def files_for_epoch(self, epoch: int) -> List[Tuple[str, int]]:
+        files: List[Tuple[str, int]] = []
+        for ci, (lst, w) in enumerate(zip(self.base_lists, self.weights)):
+            reps, frac = int(w), w - int(w)
+            for _ in range(reps):
+                files.extend(lst)
+            n_frac = int(round(frac * len(lst)))
+            if n_frac:
+                rng = np.random.default_rng(
+                    (self.pcfg.random_seed, epoch, ci)
+                )
+                pick = rng.choice(len(lst), n_frac, replace=False)
+                files.extend(lst[int(i)] for i in pick)
+        return files
 
-    def num_batches(self, batch_size: int) -> int:
-        return len(self.files) // batch_size  # drop_last (fairseq default)
+    def __len__(self) -> int:
+        return len(self.files_for_epoch(0))
+
+    def num_batches(self, batch_size: int, epoch: int = 0) -> int:
+        # drop_last (fairseq default)
+        return len(self.files_for_epoch(epoch)) // batch_size
 
     def batches(
-        self, epoch: int, batch_size: int
+        self, epoch: int, batch_size: int, skip: int = 0
     ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (wav (B, crop) f32, padding_mask (B, crop) bool)."""
+        """Yields (wav (B, crop) f32, padding_mask (B, crop) bool).
+
+        ``skip`` drops the first N batches without reading their wavs (used
+        by resume to re-enter mid-epoch at the right position)."""
         pcfg = self.pcfg
         crop = pcfg.crop_size
+        files = self.files_for_epoch(epoch)
         rng = np.random.default_rng((pcfg.random_seed, epoch))
-        order = rng.permutation(len(self.files))
-        for start in range(0, self.num_batches(batch_size) * batch_size, batch_size):
+        order = rng.permutation(len(files))
+        n_use = self.num_batches(batch_size, epoch) * batch_size
+        for start in range(skip * batch_size, n_use, batch_size):
             idx = order[start : start + batch_size]
+            # crop offsets keyed by (seed, epoch, batch index) — position-
+            # independent draws, so a mid-epoch resume (skip > 0) replays
+            # exactly the batches the uninterrupted run would have produced
+            rng = np.random.default_rng(
+                (pcfg.random_seed, epoch, start // batch_size)
+            )
             wav = np.zeros((batch_size, crop), np.float32)
             pad = np.ones((batch_size, crop), bool)
             for row, i in enumerate(idx):
-                path, _frames = self.files[int(i)]
+                path, _frames = files[int(i)]
                 audio, sr = read_wav(path)
                 if audio.ndim == 2:
                     audio = audio.mean(axis=1)
@@ -134,11 +162,16 @@ def run_d2v_pretrain(
     log_every: int = 50,
     checkpoint_every: int = 1000,
     resume: bool = False,
+    mesh=None,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
     ``init_checkpoint``: optional ``emotion2vec_base.pt`` (or flax msgpack)
-    to continue pretraining from."""
+    to continue pretraining from.
+
+    ``mesh`` (jax.sharding.Mesh): dp-shard every batch over the mesh
+    (parallel/d2v_sharded.py) — numerically the single-device step on the
+    same global batch. batch_size must divide by the dp extent."""
     from ..models.d2v_pretrain import (
         D2vTrainState,
         encoder_params,
@@ -165,12 +198,18 @@ def run_d2v_pretrain(
         )
         logger.info("initialized encoder from %s", init_checkpoint)
 
-    ckpt_path = os.path.join(save_dir, "d2v_last_state.msgpack")
-    if resume and os.path.exists(ckpt_path):
-        state, _meta = restore_train_state(ckpt_path, state)
-        logger.info("resumed at step %d", int(state.step))
+    if mesh is not None:
+        from ..parallel.d2v_sharded import make_sharded_d2v_step, place_d2v_state
 
-    step_fn = make_d2v_train_step(model, tx)
+        dp = mesh.shape.get("dp", 1)
+        if pcfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size={pcfg.batch_size} must divide by dp={dp}"
+            )
+        state = place_d2v_state(state, mesh)
+        step_fn = make_sharded_d2v_step(model, tx, mesh)
+    else:
+        step_fn = make_d2v_train_step(model, tx)
     ds = WavCropDataset(manifest_dirs, pcfg, weights=weights)
     logger.info(
         "d2v pretrain: %d clips, %d steps/epoch, %d total steps",
@@ -181,34 +220,69 @@ def run_d2v_pretrain(
     last = {}
     t0 = time.time()
     epoch = 0
+    batch_in_epoch = 0  # batches consumed of the CURRENT epoch
+
+    ckpt_path = os.path.join(save_dir, "d2v_last_state.msgpack")
+    if resume and os.path.exists(ckpt_path):
+        # full resume: params/opt/EMA from the state, plus rng stream, epoch
+        # position and logging history from the metadata — a resumed run
+        # continues the interrupted one instead of replaying epoch 0 and
+        # truncating d2v_training_history.json
+        state, meta = restore_train_state(ckpt_path, state)
+        meta = meta or {}
+        if "rng" in meta:
+            rng = jax.numpy.asarray(np.asarray(meta["rng"], np.uint32))
+        epoch = int(meta.get("epoch", 0))
+        batch_in_epoch = int(meta.get("batch_in_epoch", 0))
+        history = list(meta.get("history", []))
+        logger.info(
+            "resumed at step %d (epoch %d, batch %d)",
+            int(state.step), epoch, batch_in_epoch,
+        )
+
+    def save_ckpt(step):
+        save_train_state(
+            ckpt_path,
+            state,
+            metadata={
+                "step": step,
+                "epoch": epoch,
+                "batch_in_epoch": batch_in_epoch,
+                "rng": np.asarray(rng).tolist(),
+                "history": history,
+            },
+        )
+
     done = int(state.step) >= pcfg.max_steps
     step = int(state.step)
     while not done:
         for wav, pad in prefetch(
-            ds.batches(epoch, pcfg.batch_size), depth=2, to_device=True
+            ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch),
+            # with a mesh the sharded step dp-places the batch itself
+            depth=2, to_device=mesh is None,
         ):
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, wav, pad, key)
             step += 1  # host-side counter: no device sync needed to count
-            # variance collapse guards, checked EVERY update (reference
-            # config.py:77-83 aborts on the offending update, not the next
-            # logging step); one small device_get per step — the loop was
-            # already synchronous per step
+            batch_in_epoch += 1
+            # variance collapse guards, checked EVERY update from step 1
+            # (reference config.py:77-83 aborts on the offending update with
+            # no warmup exemption); one small device_get per step — the loop
+            # was already synchronous per step
             tvar, pvar = (
                 float(x)
                 for x in jax.device_get(
                     (metrics["target_var"], metrics["pred_var"])
                 )
             )
-            if step > pcfg.warmup_steps:
-                if tvar < pcfg.min_target_var:
-                    logger.error("target variance collapsed (%.4f < %.2f)",
-                                 tvar, pcfg.min_target_var)
-                    done = True
-                if pvar < pcfg.min_pred_var:
-                    logger.error("prediction variance collapsed (%.4f < %.2f)",
-                                 pvar, pcfg.min_pred_var)
-                    done = True
+            if tvar < pcfg.min_target_var:
+                logger.error("target variance collapsed (%.4f < %.2f)",
+                             tvar, pcfg.min_target_var)
+                done = True
+            if pvar < pcfg.min_pred_var:
+                logger.error("prediction variance collapsed (%.4f < %.2f)",
+                             pvar, pcfg.min_pred_var)
+                done = True
             if step % log_every == 0 or step == 1 or done:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["step"] = step
@@ -221,13 +295,15 @@ def run_d2v_pretrain(
                     last["target_var"], last["pred_var"], last["ema_decay"],
                 )
             if checkpoint_every and step % checkpoint_every == 0:
-                save_train_state(ckpt_path, state, metadata={"step": step})
+                save_ckpt(step)
             if step >= pcfg.max_steps or done:
                 done = True
                 break
-        epoch += 1
+        else:
+            epoch += 1
+            batch_in_epoch = 0
 
-    save_train_state(ckpt_path, state, metadata={"step": int(state.step)})
+    save_ckpt(int(state.step))
     enc_path = os.path.join(save_dir, "encoder_params.msgpack")
     save_train_state(enc_path, encoder_params(state.params))
     dump_json(history, os.path.join(save_dir, "d2v_training_history.json"))

@@ -308,6 +308,34 @@ def test_train_step_learns_and_updates_ema(tiny_state, rng):
     assert max(flat) > 0 and max(flat) < 0.5
 
 
+def test_mask_channel_prob_masks_channels_and_is_live(tiny_state, rng):
+    """mask_channel_prob (base.py:456-469): span-masked channels are zeroed
+    with an exact per-row count, and turning the knob on changes the step."""
+    # primitive: span mask over the channel dim has an exact count per row
+    ch, n = dm.sample_span_mask(jax.random.PRNGKey(0), 6, 16, 0.25, 4)
+    assert n == 4
+    assert (np.asarray(ch).sum(axis=1) == n).all()
+
+    cfg, pcfg, model, tx, _state = tiny_state
+    from dataclasses import replace
+
+    wav = rng.normal(size=(4, 64)).astype(np.float32)
+    pad = np.zeros((4, 64), bool)
+    key = jax.random.PRNGKey(3)
+
+    losses = {}
+    for p in (0.0, 0.5):
+        pcfg_p = replace(pcfg, mask_channel_prob=p, mask_channel_length=4)
+        model_p, tx_p, state_p = init_d2v_state(
+            cfg, pcfg_p, jax.random.PRNGKey(0), example_len=64
+        )
+        step = make_d2v_train_step(model_p, tx_p)
+        _s, m = step(state_p, wav, pad, key)
+        losses[p] = float(m["loss"])
+        assert np.isfinite(losses[p])
+    assert losses[0.0] != losses[0.5]
+
+
 def test_teacher_params_merge(tiny_state):
     cfg, pcfg, model, tx, state = tiny_state
     tp = merge_teacher_params(state.params, state.ema_blocks)
@@ -444,6 +472,120 @@ def test_run_d2v_pretrain_smoke(tmp_path):
     assert os.path.exists(os.path.join(save, "d2v_training_history.json"))
     params = load_pretrained_encoder(save, cfg)
     assert "block_0" in params["params"]
+
+
+def test_wav_crop_dataset_fractional_weights(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        WavCropDataset,
+    )
+
+    d = _write_wav_corpus(tmp_path)
+    pcfg = tiny_pcfg(crop_size=6000, min_sample_size=4500, batch_size=2)
+    base = len(WavCropDataset([d], pcfg))  # 4 clips
+    # fractional weight really down-samples: 0.5 -> half the corpus/epoch
+    ds = WavCropDataset([d, d], pcfg, weights=[1.0, 0.5])
+    assert len(ds.files_for_epoch(0)) == base + base // 2
+    # the sampled subset changes per epoch but is deterministic per epoch
+    e0 = ds.files_for_epoch(0)
+    assert e0 == ds.files_for_epoch(0)
+    picks = {tuple(sorted(p for p, _ in ds.files_for_epoch(e)[base:]))
+             for e in range(8)}
+    assert len(picks) > 1
+    # non-positive weights are rejected, not silently rounded
+    with pytest.raises(ValueError):
+        WavCropDataset([d], pcfg, weights=[0.0])
+
+
+def test_run_d2v_pretrain_resume_continues_run(tmp_path, monkeypatch):
+    """--resume continues the interrupted run: rng/epoch/history restored,
+    so the resumed half reproduces the uninterrupted run exactly.
+
+    The interruption must be a genuine crash mid-run (not a shorter
+    max_steps: that would change the cosine-decay schedule and make the
+    step-3 states legitimately differ)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+        d2v_pretrain as d2v_models,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=6, warmup_steps=1, clone_batch=2)
+
+    # uninterrupted 6-step run
+    full = os.path.join(str(tmp_path), "full")
+    run_d2v_pretrain(cfg, pcfg, [d], full, log_every=1, checkpoint_every=0)
+
+    # same run crashing right after the step-3 checkpoint...
+    real_make = d2v_models.make_d2v_train_step
+
+    def crashing_make(model, tx):
+        real_step = real_make(model, tx)
+        calls = {"n": 0}
+
+        def step(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError("simulated crash")
+            return real_step(*a, **kw)
+
+        return step
+
+    part = os.path.join(str(tmp_path), "part")
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", crashing_make)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1,
+                         checkpoint_every=3)
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", real_make)
+
+    # ...then resumed to completion
+    run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1, checkpoint_every=0,
+                     resume=True)
+
+    import json
+
+    with open(os.path.join(full, "d2v_training_history.json")) as f:
+        h_full = json.load(f)
+    with open(os.path.join(part, "d2v_training_history.json")) as f:
+        h_part = json.load(f)
+    # history is COMPLETE (pre-resume entries kept) and step-aligned
+    assert [h["step"] for h in h_part] == [h["step"] for h in h_full]
+    for a, b in zip(h_full, h_part):
+        assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
+
+
+def test_run_d2v_pretrain_dp_mesh_matches_single(tmp_path):
+    """run_d2v_pretrain(mesh=dp8) reproduces the single-device run — the
+    mesh-wired DRIVER capability (cli d2v-pretrain --dp)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000,
+                                          2100, 2600, 2900, 3100))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=8,
+                     max_steps=3, warmup_steps=1, clone_batch=2)
+    last1 = run_d2v_pretrain(cfg, pcfg, [d],
+                             os.path.join(str(tmp_path), "single"),
+                             log_every=1, checkpoint_every=0)
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    with mesh:
+        last8 = run_d2v_pretrain(cfg, pcfg, [d],
+                                 os.path.join(str(tmp_path), "dp8"),
+                                 log_every=1, checkpoint_every=0, mesh=mesh)
+    assert abs(last1["loss"] - last8["loss"]) < 1e-4
+    with pytest.raises(ValueError, match="divide"):
+        bad = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=6,
+                        max_steps=1, clone_batch=2)
+        run_d2v_pretrain(cfg, bad, [d],
+                         os.path.join(str(tmp_path), "bad"), mesh=mesh)
 
 
 def test_d2v_optimizer_warmup_longer_than_run():

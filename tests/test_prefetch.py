@@ -37,6 +37,19 @@ def test_prefetch_depth_zero_is_synchronous():
     assert list(prefetch(items, depth=0)) == items
 
 
+def test_prefetch_depth_zero_still_honors_transfer_dtype():
+    # depth only controls lookahead; --transfer-dtype must not be silently
+    # dropped at --prefetch-depth 0
+    import ml_dtypes
+
+    x = np.linspace(-2, 2, 12).astype(np.float32)
+    (got,) = list(prefetch([x], depth=0, transfer_fp32_as="bfloat16"))
+    want = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    (dev,) = list(prefetch([x], depth=0, to_device=True))
+    assert hasattr(dev, "devices")  # a jax.Array, not host numpy
+
+
 def test_prefetch_propagates_worker_exception():
     def gen():
         yield 1

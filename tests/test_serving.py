@@ -160,6 +160,84 @@ def test_wav_path_with_tiny_encoder():
                            rng.normal(size=3500) * 0.1])
     assert len(outs) == 2 and all(o["label"] in p.class_names for o in outs)
 
+    # int16 transfer path: same clips quantized to PCM agree with the f32
+    # path (1/32768 input quantization, loose tolerance on probs)
+    p16 = EmotionPredictor(cfg, ssrl, extractor=extractor, batch_size=2,
+                           frame_buckets=(8, 64),
+                           wav_transfer_dtype="int16")
+    clip = np.random.default_rng(0).normal(size=1800).astype(np.float32) * 0.1
+    out16 = p16.predict_wavs([clip])[0]
+    f32 = p.predict_wavs([clip])[0]
+    assert np.allclose(
+        list(out16["probs"].values()), list(f32["probs"].values()),
+        atol=5e-3,
+    )
+    # native int16 PCM input is accepted by BOTH transfer modes
+    pcm = (np.random.default_rng(5).normal(size=1700) * 3000).astype(np.int16)
+    for pred in (p, p16):
+        out = pred.predict_wavs([pcm])[0]
+        assert out["label"] in pred.class_names
+
+
+def test_http_pcm16_payload():
+    import base64
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        EncoderConfig,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+    from test_d2v_pretrain import TINY_ENC
+
+    enc_cfg = EncoderConfig(**TINY_ENC)
+    enc = Emotion2vecEncoder(enc_cfg)
+    params = enc.init(jax.random.PRNGKey(0), np.zeros((1, 2000), np.float32),
+                      np.ones((1, 2000), bool))
+    extractor = FeatureExtractor(enc_cfg, params, batch_size=2,
+                                 buckets=(2000, 4000))
+    cfg = dad_preset("iemocap", input_dim=enc_cfg.embed_dim, hidden_dim=8)
+    _h, ssrl = init_ssrl(jax.random.PRNGKey(1),
+                         input_dim=enc_cfg.embed_dim, hidden_dim=8)
+    p = EmotionPredictor(cfg, ssrl, extractor=extractor, batch_size=2,
+                         frame_buckets=(8, 64), wav_transfer_dtype="int16")
+    server = PredictionServer(p, port=0, max_wait_ms=2.0)
+    server.start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["pcm16_input"] and health["wav_transfer_dtype"] == "int16"
+
+        pcm = (np.random.default_rng(0).normal(size=1800) * 3000).astype("<i2")
+        body = {"pcm16": base64.b64encode(pcm.tobytes()).decode(), "sr": 16000}
+        req = urllib.request.Request(
+            base + "/predict", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["label"] in p.class_names
+
+        # bad base64 / odd byte count -> 400
+        import urllib.error
+
+        for bad in ("!!!not-base64!!!", base64.b64encode(b"abc").decode()):
+            try:
+                req = urllib.request.Request(
+                    base + "/predict",
+                    data=json.dumps({"pcm16": bad}).encode(),
+                )
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.shutdown()
+
 
 def test_long_clip_not_truncated(predictor):
     # clips past the top frame bucket round UP (extract._bucket semantics):

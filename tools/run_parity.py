@@ -231,6 +231,13 @@ def main(argv=None):
     ap.add_argument("--out", default=None,
                     help="default PARITY_REPORT.json (iemocap) / "
                          "PARITY_REPORT_<corpus>.json")
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed to run (extend an earlier report's "
+                         "0..N-1 range without re-running it)")
+    ap.add_argument("--merge-from", default=None,
+                    help="existing report whose per-seed values are "
+                         "prepended before the summary stats (protocol "
+                         "must match: same corpus/epochs/n_clips/dim)")
     args = ap.parse_args(argv)
     if args.out is None:
         args.out = ("PARITY_REPORT.json" if args.corpus == "iemocap"
@@ -246,7 +253,7 @@ def main(argv=None):
     noisy_store = load_feature_store(noisy_dir, label_map)
 
     jax_rows, torch_rows = [], []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seeds):
         pre_cfg, dad_cfg = build_configs(args.dim, args.epochs, seed, tmpdir,
                                          corpus=args.corpus)
         t0 = time.time()
@@ -269,10 +276,29 @@ def main(argv=None):
         "clean_WA": ("clean_test", "accuracy"),
         "pretrain_UA": ("pretrain_test_wa",),
     }
+    prev = None
+    if args.merge_from:
+        with open(args.merge_from) as f:
+            prev = json.load(f)
+        for k in ("epochs", "n_clips", "dim", "preset", "fold"):
+            old = prev["protocol"].get(k)
+            new = {"epochs": args.epochs, "n_clips": args.n_clips,
+                   "dim": args.dim, "preset": args.corpus,
+                   "fold": args.fold}[k]
+            if old != new:
+                raise SystemExit(
+                    f"--merge-from protocol mismatch on {k}: {old} != {new}"
+                )
+
     table, worst_noisy = {}, 0.0
     for name, path in metrics.items():
         jm, js, jv = summarize(jax_rows, path)
         tm, ts, tv = summarize(torch_rows, path)
+        if prev is not None:
+            jv = list(prev["metrics"][name]["jax_per_seed"]) + jv
+            tv = list(prev["metrics"][name]["torch_per_seed"]) + tv
+            jm, js = float(np.mean(jv)), float(np.std(jv))
+            tm, ts = float(np.mean(tv)), float(np.std(tv))
         delta = jm - tm
         if name.startswith("noisy_") and name != "noisy_WF1":
             worst_noisy = max(worst_noisy, abs(delta))
