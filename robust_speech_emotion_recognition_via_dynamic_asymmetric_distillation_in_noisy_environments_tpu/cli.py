@@ -95,6 +95,7 @@ def _cmd_d2v_pretrain(args):
         warmup_steps=args.warmup_steps,
         learning_rate=args.lr,
         crop_size=args.crop_size,
+        min_sample_size=args.min_sample_size,
         mask_prob=args.mask_prob,
         mask_length=args.mask_length,
         clone_batch=args.clone_batch,
@@ -103,18 +104,29 @@ def _cmd_d2v_pretrain(args):
     weights = (
         [float(w) for w in args.weights.split(",")] if args.weights else None
     )
+    mesh = None
+    if args.dp > 0:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
     run_d2v_pretrain(
         cfg, pcfg, args.manifests, args.save_dir,
         weights=weights, init_checkpoint=args.init_checkpoint,
-        resume=args.resume,
+        resume=args.resume, mesh=mesh,
     )
     return 0
 
 
 def _cmd_dad(args):
     from .configs import dad_preset
+
+    if args.from_wav:
+        return _cmd_dad_fused(args)
     from .train import CrossDomainTrainer, run_cv
 
+    if not (args.clean and args.noisy):
+        raise ValueError("--clean and --noisy are required "
+                         "(or use --from-wav for fused training)")
     kw = dict(
         clean_data_dir=args.clean,
         noisy_data_dir=args.noisy,
@@ -127,16 +139,100 @@ def _cmd_dad(args):
     if args.batch_size is not None:
         kw["batch_size"] = args.batch_size
     cfg = dad_preset(args.corpus, **kw)
+    mesh = None
+    scan_chunk = args.scan_chunk
+    if args.dp > 0:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
+        scan_chunk = 0  # per-batch dispatch under the mesh
     if args.fold == "all":
-        run_cv(cfg, experiment_name=args.name, scan_chunk=args.scan_chunk,
+        run_cv(cfg, experiment_name=args.name, scan_chunk=scan_chunk,
                prefetch_depth=args.prefetch_depth,
-               transfer_dtype=args.transfer_dtype)
+               transfer_dtype=args.transfer_dtype, mesh=mesh)
     else:
         trainer = CrossDomainTrainer(
             cfg, fold=int(args.fold), experiment_name=args.name,
-            scan_chunk=args.scan_chunk,
+            scan_chunk=scan_chunk,
             prefetch_depth=args.prefetch_depth,
             transfer_dtype=args.transfer_dtype,
+            mesh=mesh,
+        )
+        trainer.train(resume=args.resume)
+    return 0
+
+
+def _cmd_dad_fused(args):
+    """Fused wav->train mode: one XLA program per step does injection +
+    extraction + the DAD update (train/fused_trainer.py)."""
+    import json
+
+    from .configs import EncoderConfig, dad_preset
+    from .models.convert import load_emotion2vec_checkpoint
+    from .parallel.fused import FusedConfig
+    from .train.fused_trainer import FusedCrossDomainTrainer, run_fused_cv
+
+    if not args.checkpoint:
+        raise ValueError("--from-wav needs --checkpoint (emotion2vec weights)")
+    kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
+    if args.warmup_epochs is not None:
+        kw["warmup_epochs"] = args.warmup_epochs
+        kw["ecda_start_epoch"] = args.warmup_epochs
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    cfg = dad_preset(args.corpus, **kw)
+
+    enc_kw = {"dtype": args.encoder_dtype}
+    if args.encoder_json:
+        with open(args.encoder_json, encoding="utf-8") as f:
+            enc_kw.update(json.load(f))
+    enc_cfg = EncoderConfig(**enc_kw)
+    enc_params = load_emotion2vec_checkpoint(args.checkpoint, enc_cfg)
+
+    snr_choices = (
+        tuple(float(s) for s in args.snr_choices.split(","))
+        if args.snr_choices
+        else None
+    )
+    bank_mode = None
+    type_idx = 0
+    if args.noise_root:
+        from .audio.noise import NOISE_TYPES
+
+        bank_mode = "random" if args.noise_mode == "random" else "fixed"
+        if args.noise_type not in NOISE_TYPES:
+            raise ValueError(f"unknown noise type {args.noise_type!r}; "
+                             f"expected one of {NOISE_TYPES}")
+        type_idx = NOISE_TYPES.index(args.noise_type)
+    fused_cfg = FusedConfig(
+        encoder=enc_cfg,
+        dad=cfg,
+        inject_snr_db=None if snr_choices else args.snr,
+        inject_snr_choices=snr_choices,
+        inject_noise_bank_mode=bank_mode,
+        inject_noise_type=type_idx,
+        cache_clean_features=True,
+    )
+
+    mesh = None
+    if args.dp > 0 or args.tp > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh((args.dp or 1) * args.tp, tp=args.tp)
+
+    common = dict(
+        fused_cfg=fused_cfg,
+        noise_root=args.noise_root,
+        experiment_name=args.name,
+        prefetch_depth=args.prefetch_depth,
+        mesh=mesh,
+    )
+    if args.fold == "all":
+        run_fused_cv(cfg, args.from_wav, enc_cfg, enc_params, **common)
+    else:
+        trainer = FusedCrossDomainTrainer(
+            cfg, args.from_wav, enc_cfg, enc_params, fold=int(args.fold),
+            **common,
         )
         trainer.train(resume=args.resume)
     return 0
@@ -171,7 +267,7 @@ def _cmd_serve(args):
         extractor = FeatureExtractor(enc_cfg, params, batch_size=args.max_batch)
     predictor = EmotionPredictor(
         cfg, ssrl, extractor=extractor, batch_size=args.max_batch,
-        use_teacher=args.teacher,
+        use_teacher=args.teacher, wav_transfer_dtype=args.wav_dtype,
     )
     if not args.no_warmup:
         predictor.warmup()
@@ -381,17 +477,53 @@ def main(argv=None) -> int:
     p.add_argument("--warmup-steps", type=int, default=8_000)
     p.add_argument("--lr", type=float, default=7.5e-4)
     p.add_argument("--crop-size", type=int, default=160_000)
+    p.add_argument("--min-sample-size", type=int, default=32_000,
+                   help="skip clips shorter than this many samples "
+                        "(task min_sample_size, audio_pretraining.py)")
     p.add_argument("--mask-prob", type=float, default=0.7)
     p.add_argument("--mask-length", type=int, default=5)
     p.add_argument("--clone-batch", type=int, default=8)
     p.add_argument("--cls-loss", type=float, default=1.0)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = single device)")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser("dad")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
-    p.add_argument("--clean", required=True)
-    p.add_argument("--noisy", required=True)
+    p.add_argument("--clean", default=None, help="clean feature dir "
+                   "(feature-level mode)")
+    p.add_argument("--noisy", default=None, help="noisy feature dir "
+                   "(feature-level mode)")
+    # fused wav->train mode (train/fused_trainer.py): one XLA program per
+    # step runs injection + extraction + the DAD update
+    p.add_argument("--from-wav", default=None, metavar="MANIFEST_DIR",
+                   help="train fused from a clean wav manifest dir "
+                        "(on-device noise injection; replaces --clean/--noisy)")
+    p.add_argument("--checkpoint", default=None,
+                   help="emotion2vec encoder weights (--from-wav mode)")
+    p.add_argument("--encoder-dtype", default="bfloat16",
+                   help="encoder compute dtype in fused mode")
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON of EncoderConfig overrides (fused mode)")
+    p.add_argument("--snr", type=float, default=10.0,
+                   help="injection SNR dB (fused mode)")
+    p.add_argument("--snr-choices", default=None,
+                   help="comma list; per-clip random SNR each step "
+                        "(fused mode multi-SNR)")
+    p.add_argument("--noise-root", default=None,
+                   help="NOISEX-92 5types dir: real-noise injection "
+                        "instead of white (fused mode)")
+    p.add_argument("--noise-mode", choices=["fixed", "random"],
+                   default="fixed",
+                   help="fixed = one type for all clips (root1), "
+                        "random = per-clip type (root2)")
+    p.add_argument("--noise-type", default="babble",
+                   help="NOISEX type for --noise-mode fixed")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (fused mode; 0 = off)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="encoder tensor-parallel size (fused mode)")
     p.add_argument("--weights", default=None, help="pretrain .ckpt")
     p.add_argument("--fold", default="0", help="0-based fold index or 'all'")
     p.add_argument("--epochs", type=int, default=500)
@@ -426,6 +558,10 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None,
                    help="emotion2vec checkpoint: enables raw-wav requests")
     p.add_argument("--encoder-dtype", default="bfloat16")
+    p.add_argument("--wav-dtype", choices=["int16", "float32"],
+                   default="int16",
+                   help="wav batch host->device transfer dtype; int16 "
+                        "halves upload bytes (lossless for PCM sources)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8476)
     p.add_argument("--max-batch", type=int, default=16)

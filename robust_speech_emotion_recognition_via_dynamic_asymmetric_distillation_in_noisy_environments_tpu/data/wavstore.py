@@ -1,0 +1,209 @@
+"""In-memory waveform store + bucket-static wav batching for the fused
+wav->train pipeline.
+
+The reference trains from PRE-extracted feature dirs only; the fused mode
+(SURVEY §2.5 "fused extract+train") instead streams raw waveforms into the
+one-XLA-program step, so it needs the wav-level analogue of
+``data/store.py`` + ``data/batching.py``: a flat preloaded sample array with
+per-clip offsets (corpora are a few GB at most — IEMOCAP 4-class is ~1.5 GB
+f32 — so RAM-resident beats per-epoch disk reads on this host), the same
+label/group sidecar parsing as the feature store, and a
+``PaddedBatchIterator``-matching iterator whose batches snap to wav length
+buckets (static shapes, one compile per bucket).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from .batching import pad_to_bucket
+from .manifests import read_manifest
+from .store import _parse_emo_line
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+# power-of-two-ish sample buckets, 1-30 s at 16 kHz (same shape policy as
+# models/extract.py's extraction buckets)
+WAV_BUCKETS = (16000, 32000, 64000, 128000, 256000, 480000)
+
+
+class WavBatch(NamedTuple):
+    wav: np.ndarray  # (B, T) float32
+    wav_mask: np.ndarray  # (B, T) bool, True = padded sample
+    labels: np.ndarray  # (B,) int32, -1 where absent/invalid
+    ids: np.ndarray  # (B,) int32 clip indices into the source store
+    row_valid: np.ndarray  # (B,) bool, False = padded row
+
+
+@dataclass
+class WavStore:
+    samples: np.ndarray  # flat (total_samples,) float32
+    sizes: np.ndarray  # (N,) int64
+    offsets: np.ndarray  # (N,) int64
+    labels: Optional[np.ndarray] = None  # (N,) int32
+    groups: Optional[np.ndarray] = None
+    label_names: Optional[List[str]] = None
+    utt_names: Optional[List[str]] = None
+
+    @property
+    def num(self) -> int:
+        return len(self.sizes)
+
+    def clip(self, i: int) -> np.ndarray:
+        o = int(self.offsets[i])
+        return self.samples[o : o + int(self.sizes[i])]
+
+    def clips(self) -> List[np.ndarray]:
+        return [self.clip(i) for i in range(self.num)]
+
+    def subset(self, indices: Sequence[int]) -> "WavStore":
+        indices = np.asarray(indices)
+        return WavStore(
+            samples=self.samples,
+            sizes=self.sizes[indices],
+            offsets=self.offsets[indices],
+            labels=None if self.labels is None else self.labels[indices],
+            groups=None if self.groups is None else self.groups[indices],
+            label_names=None
+            if self.label_names is None
+            else [self.label_names[int(i)] for i in indices],
+            utt_names=None
+            if self.utt_names is None
+            else [self.utt_names[int(i)] for i in indices],
+        )
+
+
+def _read_sidecars(manifest_dir: str, split: str):
+    """Same .emo / .lbl+.spk parsing as load_feature_store
+    (reference data.py:63-197 label conventions)."""
+    import os
+
+    prefix = os.path.join(manifest_dir, split)
+    raw_labels = utt_names = raw_groups = None
+    if os.path.exists(prefix + ".emo"):
+        raw_labels, utt_names = [], []
+        with open(prefix + ".emo", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                name, lbl = _parse_emo_line(line)
+                utt_names.append(name)
+                raw_labels.append(lbl)
+        raw_groups = [
+            int(name[4]) if name and len(name) > 4 and name[4].isdigit() else -1
+            for name in utt_names
+        ]
+    elif os.path.exists(prefix + ".lbl"):
+        with open(prefix + ".lbl", encoding="utf-8") as f:
+            raw_labels = [line.strip() for line in f if line.strip()]
+        if os.path.exists(prefix + ".spk"):
+            with open(prefix + ".spk", encoding="utf-8") as f:
+                raw_groups = [line.strip() for line in f if line.strip()]
+    return raw_labels, utt_names, raw_groups
+
+
+def load_wav_store(
+    manifest_dir: str,
+    label_map: Optional[Dict[str, int]] = None,
+    split: str = "train",
+) -> WavStore:
+    """Loads every wav in a manifest into one flat RAM array, with labels
+    and fold groups from the standard sidecars."""
+    import os
+
+    from ..audio.wavio import read_wav
+
+    root, files = read_manifest(manifest_dir, split)
+    raw_labels, utt_names, raw_groups = _read_sidecars(manifest_dir, split)
+
+    clips = []
+    for rel, _frames in files:
+        wav, sr = read_wav(os.path.join(root, rel))
+        if wav.ndim == 2:
+            wav = np.mean(wav, axis=1)
+        if sr != 16000:
+            raise ValueError(f"{rel}: expected 16 kHz, got {sr} "
+                             "(run fix-format first)")
+        clips.append(wav.astype(np.float32))
+    if raw_labels is not None and len(raw_labels) != len(clips):
+        raise ValueError(
+            f"{manifest_dir}: {len(raw_labels)} labels != {len(clips)} clips"
+        )
+
+    sizes = np.asarray([len(c) for c in clips], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    labels = None
+    if raw_labels is not None and label_map is not None:
+        labels = np.asarray([label_map[x] for x in raw_labels], np.int32)
+    store = WavStore(
+        samples=np.concatenate(clips) if clips else np.zeros(0, np.float32),
+        sizes=sizes,
+        offsets=offsets,
+        labels=labels,
+        groups=None if raw_groups is None else np.asarray(raw_groups),
+        label_names=raw_labels,
+        utt_names=utt_names,
+    )
+    logger.info("loaded %d wavs (%.1f min audio) from %s", store.num,
+                sizes.sum() / 16000 / 60, manifest_dir)
+    return store
+
+
+class PaddedWavIterator:
+    """Bucket-static batches over a WavStore, mirroring PaddedBatchIterator's
+    contract: (seed, epoch) shuffles, last partial batch padded with
+    row_valid=False, ids = source clip indices."""
+
+    def __init__(
+        self,
+        store: WavStore,
+        batch_size: int,
+        buckets: Sequence[int] = WAV_BUCKETS,
+        shuffle: bool = False,
+        seed: int = 0,
+        labeled: bool = True,
+    ):
+        self.store = store
+        self.batch_size = int(batch_size)
+        self.buckets = tuple(buckets)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.labeled = labeled
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        return int(np.ceil(self.store.num / self.batch_size))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[WavBatch]:
+        order = np.arange(self.store.num)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        B = self.batch_size
+        labels = self.store.labels if self.labeled else None
+        for start in range(0, len(order), B):
+            idx = order[start : start + B]
+            t_max = int(self.store.sizes[idx].max()) if len(idx) else 1
+            T = pad_to_bucket(t_max, self.buckets)
+            wav = np.zeros((B, T), np.float32)
+            mask = np.ones((B, T), bool)
+            out_labels = np.full((B,), -1, np.int32)
+            ids = np.full((B,), -1, np.int32)
+            row_valid = np.zeros((B,), bool)
+            for row, ci in enumerate(idx):
+                c = self.store.clip(int(ci))
+                wav[row, : len(c)] = c
+                mask[row, : len(c)] = False
+                if labels is not None:
+                    out_labels[row] = labels[int(ci)]
+                ids[row] = int(ci)
+                row_valid[row] = True
+            yield WavBatch(wav, mask, out_labels, ids, row_valid)

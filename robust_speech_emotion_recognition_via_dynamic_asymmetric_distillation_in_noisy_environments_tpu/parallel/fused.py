@@ -42,6 +42,15 @@ class FusedConfig:
     # precedence over inject_snr_db) — the on-device analogue of the
     # reference's multi-SNR noisy trees
     inject_snr_choices: Optional[Tuple[float, ...]] = None
+    # real-noise (NOISEX-92) injection from a device-resident (K, Tn) bank
+    # instead of white noise: "fixed" = one type for every clip
+    # (inject_noise_type; the reference's root1 trees), "random" = a random
+    # type per clip (root2, add_real_noise_to_audio.py noise_mode 'random').
+    # When set, the step takes the bank tensor as an extra trailing argument
+    # (load_noise_bank builds it from the NOISEX 5types dir) and the SNR
+    # still comes from inject_snr_db / inject_snr_choices.
+    inject_noise_bank_mode: Optional[str] = None  # None | "fixed" | "random"
+    inject_noise_type: int = 0
     # the clean stream has no wav-level randomness, so its features are
     # static across steps; with this on, the step takes a CleanFeatureBatch
     # (precomputed once, e.g. via precompute_clean_features) and only the
@@ -56,6 +65,9 @@ class FusedBatch(NamedTuple):
     wav_mask: jax.Array  # (B, T) bool True=pad
     labels: jax.Array  # (B,)
     row_valid: jax.Array  # (B,)
+    # clip indices for per-sample confirmation-bias tracking (train.py:424-
+    # 437); None skips the tracking outputs (bench / dryrun paths)
+    ids: Optional[jax.Array] = None  # (B,) int32
 
 
 class CleanFeatureBatch(NamedTuple):
@@ -95,6 +107,47 @@ def init_fused(cfg: FusedConfig, key: jax.Array, example_len: int = 16000):
     return encoder, enc_params, head, tx, state
 
 
+def validate_injection(cfg: FusedConfig) -> None:
+    if cfg.inject_noise_bank_mode not in (None, "fixed", "random"):
+        raise ValueError(
+            f"bad inject_noise_bank_mode {cfg.inject_noise_bank_mode!r}"
+        )
+    if cfg.inject_noise_bank_mode is not None and not (
+        cfg.inject_snr_choices or cfg.inject_snr_db is not None
+    ):
+        raise ValueError(
+            "inject_noise_bank_mode needs inject_snr_db or inject_snr_choices"
+        )
+
+
+def inject_noise(cfg: FusedConfig, noisy_wav, wav_mask, key, noise_bank=None):
+    """On-device analogue of the reference injectors: white noise
+    (add_noise_to_audio.py) or NOISEX bank mixing
+    (add_real_noise_to_audio.py:129-160), at a fixed or per-clip SNR.
+    Traceable; called from inside the fused step's loss."""
+    if cfg.inject_snr_choices:
+        k_pick, key = jax.random.split(key)
+        snrs = jnp.asarray(cfg.inject_snr_choices, jnp.float32)
+        snr = snrs[
+            jax.random.randint(k_pick, (noisy_wav.shape[0],), 0, len(snrs))
+        ]
+    elif cfg.inject_snr_db is not None:
+        snr = cfg.inject_snr_db
+    else:
+        return noisy_wav
+    if cfg.inject_noise_bank_mode is not None:
+        from ..audio.noise import batch_mix_noise_bank
+
+        return batch_mix_noise_bank(
+            noisy_wav, ~wav_mask, noise_bank, snr, key,
+            noise_type=cfg.inject_noise_type,
+            per_sample_type=cfg.inject_noise_bank_mode == "random",
+        )
+    from ..audio.noise import batch_add_white_noise
+
+    return batch_add_white_noise(noisy_wav, ~wav_mask, snr, key)
+
+
 def make_fused_extract_train_step(
     encoder: Emotion2vecEncoder,
     head: DADHead,
@@ -117,28 +170,17 @@ def make_fused_extract_train_step(
         feats, frame_mask = encoder.apply(enc_params, wav, wav_mask)
         return jax.lax.stop_gradient(feats.astype(jnp.float32)), frame_mask
 
+    validate_injection(cfg)
+
+    def inject(noisy_wav, wav_mask, key, noise_bank):
+        return inject_noise(cfg, noisy_wav, wav_mask, key, noise_bank)
+
     def loss_fn(student, teacher, dacp_state, enc_params, clean: FusedBatch,
-                noisy: FusedBatch, scalars: StepScalars, anchors, key):
+                noisy: FusedBatch, scalars: StepScalars, anchors, key,
+                noise_bank=None):
         k_inj, k_dc, k_w, k_s, k_ds = jax.random.split(key, 5)
 
-        noisy_wav = noisy.wav
-        if cfg.inject_snr_choices:
-            from ..audio.noise import batch_add_white_noise
-
-            k_pick, k_mix = jax.random.split(k_inj)
-            snrs = jnp.asarray(cfg.inject_snr_choices, jnp.float32)
-            per_clip = snrs[
-                jax.random.randint(k_pick, (noisy_wav.shape[0],), 0, len(snrs))
-            ]
-            noisy_wav = batch_add_white_noise(
-                noisy_wav, ~noisy.wav_mask, per_clip, k_mix
-            )
-        elif cfg.inject_snr_db is not None:
-            from ..audio.noise import batch_add_white_noise
-
-            noisy_wav = batch_add_white_noise(
-                noisy_wav, ~noisy.wav_mask, cfg.inject_snr_db, k_inj
-            )
+        noisy_wav = inject(noisy.wav, noisy.wav_mask, k_inj, noise_bank)
 
         # NB: merging the two extracts into one concat-batch pass was measured
         # SLOWER (70 vs 61 ms/step device time) — the 2x-batch conv
@@ -211,13 +253,23 @@ def make_fused_extract_train_step(
             "ecda_loss": ecda,
             "high_confidence_count": count,
         }
+        if noisy.ids is not None:
+            # same per-sample tracking contract as the feature-level step
+            # (dad/train_step.py aux["tracking"], reference train.py:424-437)
+            metrics["tracking"] = {
+                "ids": noisy.ids,
+                "pseudo_label": preds,
+                "certainty_score": scores,
+                "is_masked_in": mask,
+            }
         return total, (new_dacp, metrics)
 
     def step(enc_params, state: DADTrainState, clean: FusedBatch,
-             noisy: FusedBatch, scalars: StepScalars, anchors, key):
+             noisy: FusedBatch, scalars: StepScalars, anchors, key,
+             noise_bank=None):
         grads, (new_dacp, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.ssrl.student, state.ssrl.teacher, state.dacp, enc_params,
-            clean, noisy, scalars, anchors, key,
+            clean, noisy, scalars, anchors, key, noise_bank,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.ssrl.student)
         new_student = optax.apply_updates(state.ssrl.student, updates)
@@ -248,21 +300,27 @@ def make_fused_extract_train_step(
             feats=dp3, frame_mask=dp2, labels=dp1, row_valid=dp1
         )
     else:
-        clean_spec = FusedBatch(wav=dp2, wav_mask=dp2, labels=dp1, row_valid=dp1)
-    noisy_spec = FusedBatch(wav=dp2, wav_mask=dp2, labels=dp1, row_valid=dp1)
+        clean_spec = FusedBatch(wav=dp2, wav_mask=dp2, labels=dp1,
+                                row_valid=dp1, ids=dp1)
+    # ids=dp1 is a no-op when the batch carries ids=None (empty subtree)
+    noisy_spec = FusedBatch(wav=dp2, wav_mask=dp2, labels=dp1, row_valid=dp1,
+                            ids=dp1)
 
+    in_shardings = [
+        None,  # enc_params: placed by the caller (tp-sharded)
+        None,  # state: replicated placement by caller
+        clean_spec,
+        noisy_spec,
+        rep,
+        rep,
+        rep,
+    ]
+    if cfg.inject_noise_bank_mode is not None:
+        in_shardings.append(rep)  # noise bank: small, replicated
     return jax.jit(
         step,
         donate_argnums=(1,),
-        in_shardings=(
-            None,  # enc_params: placed by the caller (tp-sharded)
-            None,  # state: replicated placement by caller
-            clean_spec,
-            noisy_spec,
-            rep,
-            rep,
-            rep,
-        ),
+        in_shardings=tuple(in_shardings),
         out_shardings=None,
     )
 

@@ -108,6 +108,7 @@ class CrossDomainTrainer:
         scan_chunk: int = 0,
         prefetch_depth: int = 2,
         transfer_dtype: Optional[str] = None,
+        mesh=None,
     ):
         """``scan_chunk > 0`` runs the epoch as lax.scan over chunks of that
         many batches (one device dispatch per chunk instead of per batch) —
@@ -118,12 +119,28 @@ class CrossDomainTrainer:
 
         ``transfer_dtype`` (e.g. "bfloat16"): ship float32 features to the
         device in this dtype and upcast on device — halves H2D bytes at the
-        cost of bf16-quantized inputs (opt-in; see data/prefetch.py)."""
+        cost of bf16-quantized inputs (opt-in; see data/prefetch.py).
+
+        ``mesh`` (jax.sharding.Mesh from parallel.make_mesh): dp-shard every
+        training batch over the mesh (parallel/sharded.py; numerically the
+        single-device step on the same global batch, gradient all-reduce
+        over ICI). batch_size must divide by the dp extent. Mutually
+        exclusive with scan_chunk."""
+        if mesh is not None and scan_chunk:
+            raise ValueError("scan_chunk is not supported with a mesh "
+                             "(per-batch dispatch already amortizes across "
+                             "devices)")
+        if mesh is not None and cfg.batch_size % mesh.shape.get("dp", 1):
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide by "
+                f"dp={mesh.shape.get('dp', 1)}"
+            )
         self.cfg = cfg
         self.fold = fold
         self.scan_chunk = scan_chunk
         self.prefetch_depth = prefetch_depth
         self.transfer_dtype = transfer_dtype
+        self.mesh = mesh
         self.experiment_name = experiment_name
         self.noise_info = extract_noise_info(cfg.noisy_data_dir)
         self.results_dir = self._setup_results_directory()
@@ -243,7 +260,18 @@ class CrossDomainTrainer:
         self.anchors = jnp.asarray(anchors)
 
     def _setup_training(self):
-        self.train_step = make_dad_train_step(self.head, self.tx, self.cfg)
+        if self.mesh is not None:
+            from ..parallel.sharded import (
+                make_sharded_dad_train_step,
+                shard_dad_state,
+            )
+
+            self.train_step = make_sharded_dad_train_step(
+                self.head, self.tx, self.cfg, self.mesh
+            )
+            self.state = shard_dad_state(self.state, self.mesh)
+        else:
+            self.train_step = make_dad_train_step(self.head, self.tx, self.cfg)
         self.eval_step = make_eval_step(self.head)
         self._epoch_runner = None
         if self.scan_chunk:
@@ -270,8 +298,10 @@ class CrossDomainTrainer:
             pairs = prefetch(
                 paired_epoch(self.clean_train, self.noisy_train, epoch),
                 depth=self.prefetch_depth,
-                to_device=True,
-                transfer_fp32_as=self.transfer_dtype,
+                # with a mesh the sharded step dp-places batches itself
+                to_device=self.mesh is None,
+                transfer_fp32_as=self.transfer_dtype if self.mesh is None
+                else None,
             )
             for clean_b, noisy_b in pairs:
                 self._rng, key = jax.random.split(self._rng)
@@ -282,20 +312,27 @@ class CrossDomainTrainer:
                     totals[k] += float(metrics[k])
                 n += 1
                 self._log_tracked(epoch, tracking)
-        if not self.is_warmup(epoch):
-            self.state = epoch_end_dacp(self.state, cfg)
-            self.training_history["dacp_ema_thresholds"].append(
-                np.asarray(self.state.dacp.ema_thresholds).tolist()
-            )
-            self.training_history["dacp_class_quality"].append(
-                np.asarray(self.state.dacp.quality).tolist()
-            )
-            quality = np.asarray(self.state.dacp.quality)
-            attn = np.exp(
-                cfg.ecda.class_attention_lambda * (quality.mean() - quality)
-            )
-            self.training_history["ecda_class_attention"].append(attn.tolist())
+        self._epoch_end_dacp(epoch)
         return {k: v / max(n, 1) for k, v in totals.items()}
+
+    def _epoch_end_dacp(self, epoch: int) -> None:
+        """Post-epoch DACP quality update + analysis history (shared with
+        the fused wav->train trainer, train/fused_trainer.py)."""
+        cfg = self.cfg
+        if self.is_warmup(epoch):
+            return
+        self.state = epoch_end_dacp(self.state, cfg)
+        self.training_history["dacp_ema_thresholds"].append(
+            np.asarray(self.state.dacp.ema_thresholds).tolist()
+        )
+        self.training_history["dacp_class_quality"].append(
+            np.asarray(self.state.dacp.quality).tolist()
+        )
+        quality = np.asarray(self.state.dacp.quality)
+        attn = np.exp(
+            cfg.ecda.class_attention_lambda * (quality.mean() - quality)
+        )
+        self.training_history["ecda_class_attention"].append(attn.tolist())
 
     def _iter_scanned_chunks(self, epoch):
         """Streams (clean_stacked, noisy_stacked) scan chunks; the host-side
@@ -587,6 +624,7 @@ def run_cv(
     scan_chunk: int = 0,
     prefetch_depth: int = 2,
     transfer_dtype: Optional[str] = None,
+    mesh=None,
 ) -> Dict:
     """Full K-fold cross-validation sweep with an aggregate summary report.
 
@@ -610,6 +648,7 @@ def run_cv(
                 scan_chunk=scan_chunk,
                 prefetch_depth=prefetch_depth,
                 transfer_dtype=transfer_dtype,
+                mesh=mesh,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

@@ -1,0 +1,388 @@
+"""Fused wav->train cross-domain trainer: the reference's two-stage pipeline
+(offline extraction, complete_preprocessing.ps1:42-153, then feature-level
+training, train.py:635-662) collapsed into ONE program per step.
+
+Train-time path per step (the bench.py production configuration):
+raw noisy-stream waveforms -> on-device noise injection (white or NOISEX
+bank; parallel/fused.py:inject_noise) -> frozen emotion2vec encoder ->
+full DAD teacher-student update — one XLA dispatch, nothing touches the
+host. The clean stream has no per-step randomness, so its features are
+extracted ONCE at startup (cache_clean_features) and stream from the
+feature store exactly like the feature-level trainer's clean batches.
+
+Everything around the step is inherited from CrossDomainTrainer: anchor
+calibration, DACP epoch updates, validation cadence with
+teacher-student disagreement, best-checkpoint + BEST/FINAL report set,
+early stopping, resume, analysis dumps. Validation/test run feature-level
+on stores extracted at startup; the noisy val/test features come from a
+FIXED seeded injection pass (the deterministic analogue of the reference's
+offline noisy trees, add_real_noise_to_audio.py), so 'best noisy WA' means
+the same thing in both trainers.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from dataclasses import replace
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import noise as noise_ops
+from ..configs import DADConfig, EncoderConfig
+from ..data.batching import Batch
+from ..data.folds import corpus_fold_split
+from ..data.prefetch import prefetch
+from ..data.store import FeatureStore
+from ..data.wavstore import (
+    WAV_BUCKETS,
+    PaddedWavIterator,
+    WavStore,
+    load_wav_store,
+)
+from ..dad import StepScalars, set_learning_rate
+from ..dad.train_step import cosine_lr
+from ..models.extract import FeatureExtractor
+from ..parallel.fused import (
+    CleanFeatureBatch,
+    FusedBatch,
+    FusedConfig,
+    make_fused_extract_train_step,
+    validate_injection,
+)
+from ..utils import get_logger
+from .dad_trainer import CrossDomainTrainer
+
+logger = get_logger(__name__)
+
+
+def injection_display_name(fused_cfg: FusedConfig) -> str:
+    """Synthesizes the reference noisy-tree dir name for the injection
+    config, so extract_noise_info / the layered results dirs and report
+    fields (train.py:113-192) come out identical to an offline-tree run."""
+    from ..audio.noise import NOISE_TYPES
+
+    if fused_cfg.inject_snr_choices:
+        snrs = "_".join(str(int(s)) for s in fused_cfg.inject_snr_choices)
+        return f"fused-multi-{snrs}db"
+    snr = int(fused_cfg.inject_snr_db)
+    if fused_cfg.inject_noise_bank_mode == "random":
+        return f"fused/root2-{snr}db"
+    if fused_cfg.inject_noise_bank_mode == "fixed":
+        t = NOISE_TYPES[fused_cfg.inject_noise_type]
+        return f"fused/root1-{t}-{snr}db"
+    return f"fused/root1-white-{snr}db"
+
+
+def store_from_clips(
+    feats: Sequence[np.ndarray], wavs: WavStore
+) -> FeatureStore:
+    """Packs per-clip feature arrays into an in-memory FeatureStore carrying
+    the wav store's labels/groups/names (reference on-disk layout semantics
+    without the disk round-trip)."""
+    sizes = np.asarray([len(f) for f in feats], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+    flat = (
+        np.concatenate([f for f in feats if len(f)], axis=0)
+        if len(feats)
+        else np.zeros((0, 1), np.float32)
+    )
+    return FeatureStore(
+        feats=flat.astype(np.float32),
+        sizes=sizes,
+        offsets=offsets,
+        labels=wavs.labels,
+        groups=wavs.groups,
+        label_names=wavs.label_names,
+        utt_names=wavs.utt_names,
+    )
+
+
+def inject_fixed(
+    wavs: WavStore,
+    fused_cfg: FusedConfig,
+    noise_clips: Optional[List[np.ndarray]],
+    seed: int,
+) -> List[np.ndarray]:
+    """Deterministic offline-injector-equivalent pass over every clip: the
+    same numpy reference math the `inject` CLI uses (tile from offset 0,
+    add_real_noise_to_audio.py:129-160 / add_noise_to_audio.py:14-43), with
+    a per-clip seeded rng — this is the fixed noisy domain that validation
+    and test measure against."""
+    out = []
+    for i in range(wavs.num):
+        rng = np.random.default_rng((seed, i))
+        clip = wavs.clip(i).astype(np.float64)
+        if fused_cfg.inject_snr_choices:
+            snr = float(rng.choice(fused_cfg.inject_snr_choices))
+        else:
+            snr = float(fused_cfg.inject_snr_db)
+        if fused_cfg.inject_noise_bank_mode is None:
+            noisy = noise_ops.add_white_noise_np(clip, snr, rng)
+        else:
+            if fused_cfg.inject_noise_bank_mode == "random":
+                k = int(rng.integers(0, len(noise_clips)))
+            else:
+                k = fused_cfg.inject_noise_type
+            seg = noise_ops.tile_noise_np(noise_clips[k], len(clip))
+            noisy = noise_ops.add_real_noise_np(clip, seg, snr)
+        out.append(noisy.astype(np.float32))
+    return out
+
+
+def load_noise_clips(noise_root: str) -> List[np.ndarray]:
+    """Raw NOISEX-92 clips in bank order (NOISE_FILE_MAPPING)."""
+    from ..audio.wavio import read_wav
+
+    clips = []
+    for fname in noise_ops.NOISE_FILE_MAPPING:
+        path = os.path.join(noise_root, fname)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"missing noise file: {path}")
+        c, _sr = read_wav(path)
+        if c.ndim == 2:
+            c = c.mean(axis=1)
+        clips.append(c.astype(np.float32))
+    return clips
+
+
+class FusedCrossDomainTrainer(CrossDomainTrainer):
+    """CrossDomainTrainer whose training epochs run the fused
+    wav->encoder->DAD step instead of the feature-level step."""
+
+    def __init__(
+        self,
+        cfg: DADConfig,
+        manifest_dir: str,
+        encoder_cfg: EncoderConfig,
+        enc_params,
+        fused_cfg: Optional[FusedConfig] = None,
+        noise_root: Optional[str] = None,
+        fold: int = 0,
+        experiment_name: Optional[str] = None,
+        pretrain_params: Optional[dict] = None,
+        prefetch_depth: int = 2,
+        mesh=None,
+        val_injection_seed: int = 42,
+        extract_batch_size: int = 16,
+        wav_buckets: Sequence[int] = WAV_BUCKETS,
+    ):
+        fused_cfg = fused_cfg or FusedConfig(
+            encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0
+        )
+        fused_cfg = replace(
+            fused_cfg, encoder=encoder_cfg, cache_clean_features=True
+        )
+        validate_injection(fused_cfg)
+        if fused_cfg.inject_snr_db is None and not fused_cfg.inject_snr_choices:
+            raise ValueError("fused training needs an injection SNR "
+                             "(inject_snr_db or inject_snr_choices)")
+        if fused_cfg.inject_noise_bank_mode is not None and not noise_root:
+            raise ValueError("bank injection modes need --noise-root")
+
+        self.wav_buckets = tuple(wav_buckets)
+        self.wav_store = load_wav_store(manifest_dir, cfg.label_map)
+        if self.wav_store.labels is None:
+            raise ValueError(f"{manifest_dir} has no label sidecar")
+
+        # one extraction pass each for the clean corpus and the FIXED noisy
+        # domain (validation/test target) — the startup-cost analogue of the
+        # reference's offline extraction stage, amortized over all epochs
+        self.extractor = FeatureExtractor(
+            encoder_cfg, enc_params, batch_size=extract_batch_size, mesh=mesh
+        )
+        logger.info("fused trainer: extracting clean features once")
+        clean_feats = self.extractor.extract_clips(self.wav_store.clips())
+
+        noise_clips = (
+            load_noise_clips(noise_root)
+            if fused_cfg.inject_noise_bank_mode is not None
+            else None
+        )
+        logger.info("fused trainer: building fixed noisy val/test domain")
+        noisy_wavs = inject_fixed(
+            self.wav_store, fused_cfg, noise_clips, val_injection_seed
+        )
+        noisy_feats = self.extractor.extract_clips(noisy_wavs)
+
+        clean_store = store_from_clips(clean_feats, self.wav_store)
+        noisy_store = store_from_clips(noisy_feats, self.wav_store)
+
+        cfg = replace(
+            cfg,
+            clean_data_dir=manifest_dir,
+            noisy_data_dir=injection_display_name(fused_cfg),
+        )
+        super().__init__(
+            cfg,
+            fold=fold,
+            experiment_name=experiment_name,
+            clean_store=clean_store,
+            noisy_store=noisy_store,
+            pretrain_params=pretrain_params,
+            scan_chunk=0,
+            prefetch_depth=prefetch_depth,
+            mesh=mesh,  # base shards the head train state; fused batches
+            # are placed by the fused step's in_shardings
+        )
+        self.fused_cfg = replace(fused_cfg, dad=self.cfg)
+
+        # the noisy TRAIN stream is raw clean wavs re-injected on device
+        # every step (fresh noise per epoch — a superset of the reference's
+        # fixed offline tree, same SNR statistics); independent shuffle
+        # stream like the feature-level noisy loader
+        wtr, _wva, _wte = corpus_fold_split(
+            self.cfg.corpus, fold, self.wav_store.groups
+        )
+        self.noisy_wav_train = PaddedWavIterator(
+            self.wav_store.subset(wtr),
+            self.cfg.batch_size,
+            buckets=self.wav_buckets,
+            shuffle=True,
+            seed=self.cfg.random_seed + 7919,
+            labeled=False,  # SSL: labels withheld (dataload_noisy.py:214)
+        )
+
+        self._noise_bank = None
+        if fused_cfg.inject_noise_bank_mode is not None:
+            bank = noise_ops.load_noise_bank(
+                noise_root, target_length=max(self.wav_buckets)
+            )
+            self._noise_bank = jax.device_put(jnp.asarray(bank))
+
+        # extractor placed the encoder params already (tp-sharded when the
+        # mesh has a tp axis); the base class replicated the head state
+        self.enc_params = self.extractor.params
+        self._fused_step = make_fused_extract_train_step(
+            self.extractor.model, self.head, self.tx, self.fused_cfg, mesh
+        )
+
+    # ------------------------------------------------------------------
+    def _paired_fused_epoch(self, epoch: int):
+        """Pairs clean FEATURE batches (cached extraction) with noisy WAV
+        batches, truncating to the shorter stream (train.py:479-483)."""
+        self.clean_train.set_epoch(epoch)
+        self.noisy_wav_train.set_epoch(epoch)
+        n = min(len(self.clean_train), len(self.noisy_wav_train))
+        ci, ni = iter(self.clean_train), iter(self.noisy_wav_train)
+        for _ in range(n):
+            cb: Batch = next(ci)
+            wb = next(ni)
+            yield (
+                CleanFeatureBatch(
+                    feats=cb.feats,
+                    frame_mask=cb.padding_mask,
+                    labels=cb.labels,
+                    row_valid=cb.row_valid,
+                ),
+                FusedBatch(
+                    wav=wb.wav,
+                    wav_mask=wb.wav_mask,
+                    labels=wb.labels,
+                    row_valid=wb.row_valid,
+                    ids=wb.ids,
+                ),
+            )
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        scalars = StepScalars.for_epoch(cfg, epoch)
+        self.state = self.state._replace(
+            opt_state=set_learning_rate(self.state.opt_state, cosine_lr(cfg, epoch))
+        )
+        totals = defaultdict(float)
+        n = 0
+        pairs = prefetch(
+            self._paired_fused_epoch(epoch),
+            depth=self.prefetch_depth,
+            to_device=self.mesh is None,  # mesh shardings place batches
+        )
+        for cfb, fwb in pairs:
+            self._rng, key = jax.random.split(self._rng)
+            args = (self.enc_params, self.state, cfb, fwb, scalars,
+                    self.anchors, key)
+            if self._noise_bank is not None:
+                self.state, metrics = self._fused_step(*args, self._noise_bank)
+            else:
+                self.state, metrics = self._fused_step(*args)
+            for k in ("total_loss", "supervised_ce_loss", "consistency_loss",
+                      "ecda_loss"):
+                totals[k] += float(metrics[k])
+            n += 1
+            if "tracking" in metrics:
+                self._log_tracked(epoch, metrics["tracking"])
+        self._epoch_end_dacp(epoch)
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
+
+def run_fused_cv(
+    cfg: DADConfig,
+    manifest_dir: str,
+    encoder_cfg: EncoderConfig,
+    enc_params,
+    fused_cfg: Optional[FusedConfig] = None,
+    noise_root: Optional[str] = None,
+    folds=None,
+    experiment_name: Optional[str] = None,
+    pretrain_params: Optional[dict] = None,
+    prefetch_depth: int = 2,
+    mesh=None,
+) -> Dict:
+    """K-fold sweep for the fused trainer (run_cv counterpart)."""
+    import re
+
+    from ..utils import dump_json
+    from .dad_trainer import extract_noise_info
+
+    n_folds = {"iemocap": 5, "casia": 4, "emodb": 10}[cfg.corpus]
+    folds = list(folds) if folds is not None else list(range(n_folds))
+    all_results = []
+    for fold in folds:
+        try:
+            trainer = FusedCrossDomainTrainer(
+                cfg,
+                manifest_dir,
+                encoder_cfg,
+                enc_params,
+                fused_cfg=fused_cfg,
+                noise_root=noise_root,
+                fold=fold,
+                experiment_name=experiment_name,
+                pretrain_params=pretrain_params,
+                prefetch_depth=prefetch_depth,
+                mesh=mesh,
+            )
+            trainer.train()
+            all_results.append(trainer.final_summary())
+        except Exception as e:  # keep the sweep alive (train.py:786-789)
+            logger.error("fold %d failed: %s", fold + 1, e, exc_info=True)
+            all_results.append({"fold": fold + 1, "error": str(e)})
+    ok = [r for r in all_results if "error" not in r]
+    display = extract_noise_info(
+        injection_display_name(
+            fused_cfg
+            or FusedConfig(encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0)
+        )
+    )["display_name"]
+    summary = {
+        "noise": display,
+        "folds": all_results,
+        "mean_noisy_weighted_acc": float(
+            np.mean([r["best_noisy_weighted_acc"] for r in ok])
+        )
+        if ok
+        else None,
+        "std_noisy_weighted_acc": float(
+            np.std([r["best_noisy_weighted_acc"] for r in ok])
+        )
+        if ok
+        else None,
+    }
+    out_dir = cfg.results_base_dir
+    if experiment_name:
+        out_dir = os.path.join(out_dir, re.sub(r'[\\/*?:"<>|]', "", experiment_name))
+    dump_json(summary, os.path.join(out_dir, "final_summary_report.json"))
+    return summary

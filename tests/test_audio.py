@@ -109,6 +109,34 @@ def test_batch_noise_bank_modes():
         assert abs(estimate_snr(x[i], noisy2[i]) - 5.0) < 0.8
 
 
+def test_batch_noise_bank_matches_numpy_reference():
+    """Sample-exact equivalence with the offline numpy injector
+    (add_real_noise_np): given the segment the bank gather selects, the
+    batched mix reproduces the reference power-scale + peak-normalize math
+    (add_real_noise_to_audio.py:129-160). The type/offset draws are
+    mirrored from the same key split the kernel uses."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    B, T = 3, 5000
+    x = np.stack([_tone(T), _tone(T, f=250.0), _tone(T, f=300.0) * 3.0])
+    x = x.astype(np.float32)  # 3rd row clips post-mix -> peak normalize path
+    bank = rng.normal(size=(5, 8000)).astype(np.float32)
+    valid = np.ones((B, T), bool)
+    key = jax.random.PRNGKey(3)
+    got = np.asarray(
+        batch_mix_noise_bank(x, valid, bank, 10.0, key, per_sample_type=True)
+    )
+    # mirror the kernel's draw structure (k_type, k_off = split(key))
+    k_type, k_off = jax.random.split(key)
+    types = np.asarray(jax.random.randint(k_type, (B,), 0, bank.shape[0]))
+    offsets = np.asarray(jax.random.randint(k_off, (B,), 0, bank.shape[1]))
+    for i in range(B):
+        seg = bank[types[i]][(np.arange(T) + offsets[i]) % bank.shape[1]]
+        want = add_real_noise_np(x[i].astype(np.float64), seg.astype(np.float64), 10.0)
+        np.testing.assert_allclose(got[i], want, atol=2e-6)
+
+
 def test_format_fix(tmp_path):
     stereo = np.stack([_tone(32000, sr=32000), _tone(32000, sr=32000, f=100)], axis=1)
     p_in = str(tmp_path / "in.wav")

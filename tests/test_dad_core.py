@@ -349,3 +349,152 @@ def test_strong_augment_mask_uses_batch_max_not_bucket(rng):
         zero_rows.append(masked.any(axis=1))
     # all rows get masked sometimes (start < t_valid for every row length)
     assert np.stack(zero_rows).any(axis=0).all()
+
+
+# ---------------------------------------------------------------------------
+# THE REFERENCE'S OWN CODE as the oracle: import DACPManager / ECDALoss from
+# the reference checkout (torch+numpy only, config module stubbed) and assert
+# value-level agreement with dad/dacp.py and dad/ecda.py on random batches.
+# This closes the "builder wrote both sides" loophole: the comparison target
+# here is the reference's executable behavior, not a re-derivation.
+# ---------------------------------------------------------------------------
+REF_UTILS = "/root/reference/IEMOCAP/DAD-train-IEMOCAP/utils.py"
+
+
+def _load_reference_utils(dadcfg):
+    """Imports the reference utils.py with a stub ``config`` module built
+    from the given preset's knobs."""
+    import importlib.util
+    import sys
+    import types
+
+    cfgmod = types.ModuleType("config")
+    d, e = dadcfg.dacp, dadcfg.ecda
+    cfgmod.USE_ENTROPY_IN_SCORE = d.use_entropy_in_score
+    cfgmod.FIXED_CONFIDENCE_THRESHOLD = d.fixed_confidence_threshold
+    cfgmod.DACP_QUALITY_SMOOTHING_BETA = d.quality_smoothing_beta
+    cfgmod.DACP_SENSITIVITY_K = d.sensitivity_k
+    cfgmod.DACP_QUANTILE_START = d.quantile_start
+    cfgmod.DACP_QUANTILE_END = d.quantile_end
+    cfgmod.DACP_CALIBRATION_STRENGTH_LAMBDA = d.calibration_strength_lambda
+    cfgmod.DACP_THRESHOLD_SMOOTHING_ALPHA = d.threshold_smoothing_alpha
+    cfgmod.USE_CLASS_AWARE_MMD = True
+    cfgmod.ECDA_CLASS_ATTENTION_LAMBDA = e.class_attention_lambda
+    cfgmod.ECDA_COMPACTNESS_WEIGHT_GAMMA = e.compactness_weight_gamma
+    cfgmod.ECDA_REPULSION_WEIGHT_DELTA = e.repulsion_weight_delta
+    # knobs utils.py reads elsewhere (augment defaults); harmless constants
+    cfgmod.WEAK_NOISE_STD = 0.01
+    cfgmod.STRONG_NOISE_STD = 0.05
+    cfgmod.DROPOUT_RATE = 0.1
+    cfgmod.TEMPORAL_MASK_RATIO = 0.1
+
+    old = sys.modules.get("config")
+    sys.modules["config"] = cfgmod
+    try:
+        spec = importlib.util.spec_from_file_location("ref_dad_utils", REF_UTILS)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        if old is not None:
+            sys.modules["config"] = old
+        else:
+            sys.modules.pop("config", None)
+    return mod, cfgmod
+
+
+def _rand_probs(rng, b, c):
+    z = rng.normal(size=(b, c)) * 2.0
+    p = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    return p.astype(np.float32)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not __import__("os").path.exists(REF_UTILS),
+                     reason="reference checkout absent")
+def test_reference_dacp_manager_is_the_oracle(rng):
+    """dad/dacp.py vs the REFERENCE DACPManager, value-level, over several
+    batches + an epoch-end quality update (utils.py:379-507)."""
+    import sys
+    import types
+
+    dadcfg = dad_preset("iemocap")
+    ref, cfgmod = _load_reference_utils(dadcfg)
+    sys.modules["config"] = cfgmod  # method-local `import config as cfg`
+    try:
+        C, B, total_epochs = 4, 24, 50
+        mgr = ref.DACPManager(C, total_epochs, torch.device("cpu"))
+        state = init_dacp(C)
+        anchors = (rng.random(C) * 0.1).astype(np.float32)
+        for i, epoch in enumerate([5, 5, 5, 12, 12, 30]):
+            probs = _rand_probs(rng, B, C)
+            gamma = (dadcfg.dacp.quantile_start
+                     + (dadcfg.dacp.quantile_end - dadcfg.dacp.quantile_start)
+                     * epoch / total_epochs)
+            r_mask, r_scores, r_wce = mgr.calculate_mask(
+                torch.from_numpy(probs), epoch, torch.from_numpy(anchors)
+            )
+            state, mask, scores, wce = dacp_mask(
+                state, jnp.asarray(probs), jnp.ones(B, bool), gamma,
+                jnp.asarray(anchors), dadcfg.dacp,
+            )
+            np.testing.assert_allclose(np.asarray(scores),
+                                       r_scores.numpy(), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(wce), r_wce.numpy(),
+                                       atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(state.ema_thresholds), mgr.ema_thresholds.numpy(),
+                atol=1e-5,
+            )
+            np.testing.assert_array_equal(np.asarray(mask),
+                                          r_mask.numpy().astype(bool))
+        # epoch end: per-class mean score -> quality EMA
+        mgr.update_class_quality_scores_epoch(mgr.batch_scores_per_class)
+        state = dacp_epoch_update(state, dadcfg.dacp)
+        np.testing.assert_allclose(
+            np.asarray(state.quality), mgr.class_quality_scores.numpy(),
+            atol=1e-5,
+        )
+    finally:
+        sys.modules.pop("config", None)
+
+
+@_pytest.mark.skipif(not __import__("os").path.exists(REF_UTILS),
+                     reason="reference checkout absent")
+def test_reference_ecda_loss_is_the_oracle(rng):
+    """dad/ecda.py vs the REFERENCE ECDALoss (utils.py:509-660), including
+    the absent-class gating and the clip where a class has <2 members."""
+    import sys
+
+    dadcfg = dad_preset("iemocap")
+    ref, cfgmod = _load_reference_utils(dadcfg)
+    sys.modules["config"] = cfgmod
+    try:
+        C, Bs, Bt, D = 4, 20, 24, 16
+        crit = ref.ECDALoss(kernel_mul=dadcfg.ecda.kernel_mul,
+                            kernel_num=dadcfg.ecda.kernel_num)
+        for trial in range(4):
+            clean = rng.normal(size=(Bs, D)).astype(np.float32)
+            noisy = rng.normal(size=(Bt, D)).astype(np.float32)
+            clean_labels = rng.integers(0, C, Bs).astype(np.int32)
+            preds = rng.integers(0, C, Bt).astype(np.int32)
+            mask = rng.random(Bt) > (0.3 if trial < 2 else 0.7)
+            scores = rng.random(Bt).astype(np.float32)
+            wce = (0.3 + 0.4 * rng.random(C)).astype(np.float32)
+            r = crit(
+                torch.from_numpy(clean), torch.from_numpy(noisy),
+                torch.from_numpy(clean_labels.astype(np.int64)),
+                torch.from_numpy(preds.astype(np.int64)),
+                torch.from_numpy(mask), torch.from_numpy(scores),
+                torch.from_numpy(wce),
+            ).item()
+            ours = float(ecda_loss(
+                jnp.asarray(clean), jnp.asarray(noisy),
+                jnp.asarray(clean_labels), jnp.asarray(preds),
+                jnp.asarray(mask), jnp.asarray(scores), jnp.asarray(wce),
+                jnp.ones(Bs, bool), jnp.ones(Bt, bool), dadcfg.ecda,
+            ))
+            np.testing.assert_allclose(ours, r, rtol=2e-4, atol=1e-5)
+    finally:
+        sys.modules.pop("config", None)

@@ -1,0 +1,239 @@
+"""E2E tests for the fused wav->train mode (train/fused_trainer.py):
+synthetic EMODB-style tone corpus, tiny encoder, full trainer loop on the
+8-device virtual CPU mesh — reports must match the feature-level trainer's
+schema, and the dp-sharded run must reproduce the single-device run."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+    EncoderConfig,
+    dad_preset,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+    build_emodb_manifest,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.wavstore import (
+    PaddedWavIterator,
+    load_wav_store,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+    Emotion2vecEncoder,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.fused import (
+    FusedConfig,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+    FusedCrossDomainTrainer,
+    injection_display_name,
+)
+
+TINY_ENC = EncoderConfig(
+    embed_dim=16, depth=2, num_heads=2, prenet_depth=1,
+    conv_feature_layers=((8, 4, 2), (8, 3, 2)),
+    conv_pos_width=6, conv_pos_groups=2, conv_pos_depth=2,
+    dtype="float32", use_flash_attention=False,
+    # keep class-coded amplitudes visible to the random untrained encoder
+    # (whole-clip normalization would erase them)
+    normalize_input=False,
+)
+
+SPK = ["03", "08", "09", "10", "11", "12", "13", "14", "15", "16"]
+# letter codes per class index, matching the reference's EMODB_EMOTION_MAP
+# quirk (manifests.py:46: A=angry, T=happy, N=neutral, L=sad)
+CODES = "ATNL"
+
+
+def make_corpus(tmp_path, clips_per_spk=8, sr=16000):
+    """EMODB-named tone corpus: class-dependent frequencies, separable."""
+    root = os.path.join(str(tmp_path), "wav")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+
+    for spk in SPK:
+        for j in range(clips_per_spk):
+            c = j % 4
+            # class-dependent frequency AND amplitude: amplitude survives
+            # mean pooling through a random untrained encoder, keeping the
+            # task learnable in a handful of epochs
+            f = 200.0 * (c + 1) + rng.normal() * 3
+            amp = 0.08 + 0.12 * c
+            n = int(sr * (0.25 + 0.2 * rng.random()))
+            t = np.arange(n) / sr
+            wav = amp * np.sin(2 * np.pi * f * t) + 0.01 * rng.normal(size=n)
+            write_wav(os.path.join(root, f"{spk}a{j % 7}{CODES[c]}a.wav"),
+                      wav.astype(np.float32), sr)
+    dest = os.path.join(str(tmp_path), "manifests")
+    entries = build_emodb_manifest(root, dest)
+    assert len(entries) == 10 * clips_per_spk
+    return dest
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    return make_corpus(tmp_path_factory.mktemp("fusedtrain"))
+
+
+def tiny_enc_params():
+    enc = Emotion2vecEncoder(TINY_ENC)
+    return enc.init(jax.random.PRNGKey(0), np.zeros((1, 8000), np.float32),
+                    np.ones((1, 8000), bool))
+
+
+def _dad_cfg(tmp_path, **kw):
+    base = dict(
+        batch_size=8, epochs=5, warmup_epochs=1, ecda_start_epoch=1,
+        weight_ramp_epochs=2, validation_interval=1, hidden_dim=8,
+        results_base_dir=os.path.join(str(tmp_path), "results"),
+    )
+    base.update(kw)
+    return dad_preset("emodb", **base)
+
+
+def test_wav_store_and_iterator(corpus):
+    cfg = _dad_cfg("/tmp")
+    store = load_wav_store(corpus, cfg.label_map)
+    assert store.num == 80 and store.labels is not None
+    assert store.groups is not None and len(np.unique(store.groups)) == 10
+    it = PaddedWavIterator(store, 8, buckets=(8000, 16000), shuffle=True,
+                          seed=3)
+    batches = list(it)
+    assert sum(int(b.row_valid.sum()) for b in batches) == 80
+    for b in batches:
+        assert b.wav.shape[1] in (8000, 16000)
+        # padded samples are zero and masked
+        assert np.all(b.wav[b.wav_mask] == 0)
+    # shuffles differ per epoch, same seed restartable
+    it.set_epoch(0)
+    ids0 = np.concatenate([b.ids for b in it])
+    it.set_epoch(1)
+    ids1 = np.concatenate([b.ids for b in it])
+    it.set_epoch(0)
+    ids0b = np.concatenate([b.ids for b in it])
+    assert not np.array_equal(ids0, ids1)
+    np.testing.assert_array_equal(ids0, ids0b)
+
+
+def test_injection_display_names():
+    cfg = dad_preset("emodb")
+    enc = TINY_ENC
+    assert injection_display_name(
+        FusedConfig(encoder=enc, dad=cfg, inject_snr_db=10.0)
+    ).endswith("root1-white-10db")
+    assert injection_display_name(
+        FusedConfig(encoder=enc, dad=cfg, inject_snr_db=15.0,
+                    inject_noise_bank_mode="fixed", inject_noise_type=1)
+    ).endswith("root1-f16-15db")
+    assert injection_display_name(
+        FusedConfig(encoder=enc, dad=cfg, inject_snr_db=5.0,
+                    inject_noise_bank_mode="random")
+    ).endswith("root2-5db")
+
+
+def _report_paths(results_dir):
+    reports = os.path.join(results_dir, "reports")
+    best = [f for f in os.listdir(reports)
+            if f.startswith("BEST_detailed_results")]
+    return reports, best
+
+
+def test_fused_trainer_end_to_end(corpus, tmp_path):
+    cfg = _dad_cfg(tmp_path)
+    trainer = FusedCrossDomainTrainer(
+        cfg, corpus, TINY_ENC, tiny_enc_params(),
+        fused_cfg=FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0),
+        fold=0, prefetch_depth=0, wav_buckets=(8000,),
+    )
+    out = trainer.train()
+    assert "noisy_test" in out, "no best checkpoint was ever saved"
+    rd = trainer.results_dir
+    # layered dir parity with the offline-tree runs
+    assert f"root1{os.sep}white{os.sep}10db" in rd
+    reports, best = _report_paths(rd)
+    assert best, "missing BEST_detailed_results report"
+    with open(os.path.join(reports, best[0])) as f:
+        rep = json.load(f)
+
+    # schema must match the feature-level trainer byte-for-key: run it on
+    # the SAME in-memory stores the fused trainer extracted
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.dad_trainer import (
+        CrossDomainTrainer,
+    )
+
+    cfg2 = _dad_cfg(tmp_path, results_base_dir=str(tmp_path / "ref_results"))
+    from dataclasses import replace
+
+    cfg2 = replace(cfg2, clean_data_dir="clean",
+                   noisy_data_dir="root1-white-10db")
+    ref = CrossDomainTrainer(
+        cfg2, fold=0, clean_store=trainer.clean_store,
+        noisy_store=trainer.noisy_store, prefetch_depth=0,
+    )
+    ref_out = ref.train()
+    assert "noisy_test" in ref_out
+    _ref_reports, ref_best = _report_paths(ref.results_dir)
+    with open(os.path.join(_ref_reports, ref_best[0])) as f:
+        ref_rep = json.load(f)
+    def keyset(d, prefix=""):
+        out = set()
+        for k, v in d.items():
+            out.add(prefix + k)
+            if isinstance(v, dict):
+                out |= keyset(v, prefix + k + ".")
+        return out
+
+    assert keyset(rep) == keyset(ref_rep)
+
+    # the full artifact set exists (training_history + final test report +
+    # confusion matrices + best .pth)
+    hist = json.load(open(os.path.join(reports, "training_history.json")))
+    assert "dacp_ema_thresholds" in hist and hist["dacp_ema_thresholds"]
+    assert "FINAL_test_set_results.json" in os.listdir(reports)
+    assert os.path.exists(os.path.join(
+        rd, "models", "emodb_cross_domain_best.pth"))
+    plots = os.listdir(os.path.join(rd, "plots"))
+    assert any(f.endswith(".png") for f in plots)
+    # the tone corpus is separable: the best noisy WA must be far above
+    # chance (25%)
+    assert out["best_noisy_weighted_acc"] >= 40.0
+
+
+def test_fused_trainer_dp_mesh_matches_single(corpus, tmp_path):
+    """dp=8 fused trainer epoch == single-device epoch on the same data
+    (VERDICT r2 #3: mesh-sharded execution of the actual trainer)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+    )
+
+    cfg = _dad_cfg(tmp_path, epochs=2)
+    single = FusedCrossDomainTrainer(
+        cfg, corpus, TINY_ENC, tiny_enc_params(), fold=0, prefetch_depth=0,
+        fused_cfg=FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0),
+        wav_buckets=(8000,),
+    )
+    avg1 = single.train_epoch(0)
+
+    cfg2 = _dad_cfg(tmp_path, epochs=2,
+                    results_base_dir=str(tmp_path / "mesh_results"))
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    with mesh:
+        sharded = FusedCrossDomainTrainer(
+            cfg2, corpus, TINY_ENC, tiny_enc_params(), fold=0,
+            prefetch_depth=0, mesh=mesh, wav_buckets=(8000,),
+            fused_cfg=FusedConfig(encoder=TINY_ENC, dad=cfg2,
+                                  inject_snr_db=10.0),
+        )
+        avg8 = sharded.train_epoch(0)
+    for k in avg1:
+        np.testing.assert_allclose(avg1[k], avg8[k], rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(single.anchors), np.asarray(sharded.anchors),
+        rtol=1e-4, atol=1e-5,
+    )

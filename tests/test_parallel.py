@@ -154,6 +154,130 @@ def test_fused_multi_snr_branch(rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_fused_noise_bank_injection(rng):
+    """NOISEX-bank injection inside the fused step: root1/root2 modes run,
+    are live (differ from white noise), and the mesh path takes the bank
+    as a replicated trailing argument."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.noise import (
+        batch_mix_noise_bank,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.fused import (
+        inject_noise,
+    )
+
+    bank = jnp.asarray(rng.normal(size=(5, 300)).astype(np.float32))
+    clean, noisy = _fused_batch(rng), _fused_batch(rng, labeled=False)
+    scalars = StepScalars.for_epoch(CFG, 4)
+    key = jax.random.PRNGKey(1)
+
+    # the injection the step applies, per mode, on the same wav batch
+    wav, mask = noisy.wav, noisy.wav_mask
+    cfg_w = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_db=10.0)
+    cfg_r1 = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_db=10.0,
+                         inject_noise_bank_mode="fixed", inject_noise_type=2)
+    cfg_r2 = FusedConfig(encoder=TINY_ENC, dad=CFG,
+                         inject_snr_choices=(0.0, 10.0),
+                         inject_noise_bank_mode="random")
+    out_w = np.asarray(inject_noise(cfg_w, wav, mask, key))
+    out_r1 = np.asarray(inject_noise(cfg_r1, wav, mask, key, bank))
+    out_r2 = np.asarray(inject_noise(cfg_r2, wav, mask, key, bank))
+    assert not np.allclose(out_w, out_r1) and not np.allclose(out_r1, out_r2)
+    # root1 routes through batch_mix_noise_bank with the fixed type
+    want_r1 = np.asarray(
+        batch_mix_noise_bank(wav, ~mask, bank, 10.0, key, noise_type=2)
+    )
+    np.testing.assert_array_equal(out_r1, want_r1)
+
+    # the full fused step runs in bank mode (single device)
+    cfg = cfg_r1
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    step = make_fused_extract_train_step(encoder, head, tx, cfg, mesh=None)
+    _s, m1 = step(enc_params, state, clean, noisy, scalars, jnp.zeros(4),
+                  jax.random.PRNGKey(1), bank)
+    assert np.isfinite(float(m1["total_loss"]))
+
+    # mesh path: bank rides replicated; loss matches the single-device run
+    encoder, enc_params, head, tx, state = init_fused(
+        cfg, jax.random.PRNGKey(0), example_len=256
+    )
+    mesh = make_mesh(8, tp=2)
+    sharded = make_fused_extract_train_step(encoder, head, tx, cfg, mesh)
+    with mesh:
+        enc_s, state_s = place_fused(enc_params, state, mesh)
+        _s2, m2 = sharded(enc_s, state_s, clean, noisy, scalars,
+                          jnp.zeros(4), jax.random.PRNGKey(1), bank)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=2e-4)
+
+    # misconfiguration: bank mode without an SNR is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="inject_snr"):
+        make_fused_extract_train_step(
+            encoder, head, tx,
+            FusedConfig(encoder=TINY_ENC, dad=CFG,
+                        inject_noise_bank_mode="fixed"),
+            mesh=None,
+        )
+
+
+def test_feature_trainer_dp_mesh_matches_single(rng, tmp_path):
+    """CrossDomainTrainer(mesh=dp8) epoch == single-device epoch on the same
+    data — the mesh-wired TRAINER capability, not just the isolated step."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (
+        load_feature_store,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.dad_trainer import (
+        CrossDomainTrainer,
+    )
+    from helpers import make_iemocap_dir
+
+    d, *_ = make_iemocap_dir(tmp_path / "clean", n=60, dim=16)
+    d2, *_ = make_iemocap_dir(tmp_path / "root2-10db", n=60, dim=16, seed=1)
+    lm = {"ang": 0, "hap": 1, "neu": 2, "sad": 3}
+    clean = load_feature_store(d, lm)
+    noisy = load_feature_store(d2, lm)
+
+    def trainer_for(mesh, base):
+        cfg = dad_preset(
+            "iemocap", input_dim=16, hidden_dim=8, batch_size=16,
+            warmup_epochs=1, ecda_start_epoch=1, epochs=4,
+            weight_ramp_epochs=2, clean_data_dir="clean",
+            noisy_data_dir="root2-10db",
+            results_base_dir=str(tmp_path / base),
+        )
+        return CrossDomainTrainer(
+            cfg, fold=0, clean_store=clean, noisy_store=noisy,
+            prefetch_depth=0, mesh=mesh,
+        )
+
+    t1 = trainer_for(None, "r1")
+    avg1 = [t1.train_epoch(e) for e in range(2)]
+
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    with mesh:
+        t8 = trainer_for(mesh, "r8")
+        avg8 = [t8.train_epoch(e) for e in range(2)]
+    for a, b in zip(avg1, avg8):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5)
+    # DACP state evolved identically
+    np.testing.assert_allclose(
+        np.asarray(t1.state.dacp.ema_thresholds),
+        np.asarray(t8.state.dacp.ema_thresholds), rtol=1e-4,
+    )
+    # mesh + scan_chunk is an explicit error, not silent misbehavior
+    import pytest
+
+    with pytest.raises(ValueError, match="scan_chunk"):
+        cfg = dad_preset("iemocap", input_dim=16, batch_size=16,
+                         clean_data_dir="c", noisy_data_dir="n")
+        CrossDomainTrainer(cfg, clean_store=clean, noisy_store=noisy,
+                           scan_chunk=4, mesh=mesh)
+
+
 def test_sharded_extraction_matches_single_device(rng):
     """dp(+tp)-sharded FeatureExtractor returns the same features as the
     unsharded path (models/extract.py mesh support)."""
