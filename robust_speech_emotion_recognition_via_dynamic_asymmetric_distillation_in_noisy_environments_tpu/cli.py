@@ -226,6 +226,7 @@ def _cmd_dad_fused(args):
         experiment_name=args.name,
         prefetch_depth=args.prefetch_depth,
         mesh=mesh,
+        transfer_dtype=args.transfer_dtype,
     )
     if args.fold == "all":
         run_fused_cv(cfg, args.from_wav, enc_cfg, enc_params, **common)

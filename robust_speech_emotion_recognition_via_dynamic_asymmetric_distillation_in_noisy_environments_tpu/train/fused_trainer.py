@@ -169,7 +169,14 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         val_injection_seed: int = 42,
         extract_batch_size: int = 16,
         wav_buckets: Sequence[int] = WAV_BUCKETS,
+        transfer_dtype: Optional[str] = None,
     ):
+        """``transfer_dtype`` (e.g. "bfloat16"): ship the f32 wav + cached
+        clean-feature batches to the device in this dtype and upcast on
+        device — halves H2D bytes per step, which dominates fused training
+        when the chip hangs off a thin link (PERFORMANCE.md). Audio in
+        [-1, 1] loses ~0.2% relative precision in bf16, far below the
+        injected noise floor."""
         fused_cfg = fused_cfg or FusedConfig(
             encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0
         )
@@ -184,6 +191,7 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
             raise ValueError("bank injection modes need --noise-root")
 
         self.wav_buckets = tuple(wav_buckets)
+        self.fused_transfer_dtype = transfer_dtype
         self.wav_store = load_wav_store(manifest_dir, cfg.label_map)
         if self.wav_store.labels is None:
             raise ValueError(f"{manifest_dir} has no label sidecar")
@@ -299,6 +307,8 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
             self._paired_fused_epoch(epoch),
             depth=self.prefetch_depth,
             to_device=self.mesh is None,  # mesh shardings place batches
+            transfer_fp32_as=self.fused_transfer_dtype
+            if self.mesh is None else None,
         )
         for cfb, fwb in pairs:
             self._rng, key = jax.random.split(self._rng)
@@ -330,6 +340,7 @@ def run_fused_cv(
     pretrain_params: Optional[dict] = None,
     prefetch_depth: int = 2,
     mesh=None,
+    transfer_dtype: Optional[str] = None,
 ) -> Dict:
     """K-fold sweep for the fused trainer (run_cv counterpart)."""
     import re
@@ -354,6 +365,7 @@ def run_fused_cv(
                 pretrain_params=pretrain_params,
                 prefetch_depth=prefetch_depth,
                 mesh=mesh,
+                transfer_dtype=transfer_dtype,
             )
             trainer.train()
             all_results.append(trainer.final_summary())
