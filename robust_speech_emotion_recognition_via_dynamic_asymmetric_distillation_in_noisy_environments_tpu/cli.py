@@ -112,8 +112,24 @@ def _cmd_d2v_pretrain(args):
     run_d2v_pretrain(
         cfg, pcfg, args.manifests, args.save_dir,
         weights=weights, init_checkpoint=args.init_checkpoint,
-        resume=args.resume, mesh=mesh,
+        resume=args.resume, mesh=mesh, binarized=args.binarized,
     )
+    return 0
+
+
+def _cmd_d2v_pack(args):
+    from .data.binarized import pack_manifest
+
+    if len(args.manifests) != len(args.out_dirs):
+        raise ValueError(
+            f"--manifests ({len(args.manifests)}) and --out-dirs "
+            f"({len(args.out_dirs)}) must pair up"
+        )
+    for mdir, out in zip(args.manifests, args.out_dirs):
+        n, total = pack_manifest(
+            mdir, out, split=args.split, sample_rate=args.sample_rate
+        )
+        print(f"{mdir} -> {out}: {n} clips, {total} samples")
     return 0
 
 
@@ -488,7 +504,24 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--binarized", action="store_true",
+                   help="--manifests point at packed stores from `d2v-pack` "
+                        "(BinarizedAudioDataset analogue, "
+                        "audio_pretraining.py:144-156)")
     p.set_defaults(func=_cmd_d2v_pretrain)
+
+    p = sub.add_parser(
+        "d2v-pack",
+        help="pack wav manifests into contiguous float32 stores for "
+             "`d2v-pretrain --binarized` (decode once, mmap every epoch)",
+    )
+    p.add_argument("--manifests", nargs="+", required=True,
+                   help="manifest dirs (with <split>.tsv)")
+    p.add_argument("--out-dirs", nargs="+", required=True,
+                   help="one output dir per manifest dir")
+    p.add_argument("--split", default="train")
+    p.add_argument("--sample-rate", type=int, default=16_000)
+    p.set_defaults(func=_cmd_d2v_pack)
 
     p = sub.add_parser("dad")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)

@@ -71,6 +71,9 @@ class WavCropDataset:
                     d, skipped, pcfg.min_sample_size,
                 )
             self.base_lists.append(kept)
+        self._init_weights(weights)
+
+    def _init_weights(self, weights: Optional[Sequence[float]]) -> None:
         if weights is None:
             weights = [1.0] * len(self.base_lists)
         if any(w <= 0 for w in weights):
@@ -78,6 +81,21 @@ class WavCropDataset:
         self.weights = [float(w) for w in weights]
         if not self.files_for_epoch(0):
             raise ValueError("no usable clips in the given manifests")
+
+    def _load_audio(self, entry: Tuple[str, int]) -> np.ndarray:
+        """(path, frames) manifest entry -> mono float32 at the task sample
+        rate. Subclasses (data/binarized.py) override this to read from a
+        packed store instead of parsing wav files."""
+        path, _frames = entry
+        audio, sr = read_wav(path)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
+        if sr != self.pcfg.sample_rate:
+            raise ValueError(
+                f"{path}: sample rate {sr} != {self.pcfg.sample_rate} "
+                "(run the audio format fixer first)"
+            )
+        return audio.astype(np.float32)
 
     def files_for_epoch(self, epoch: int) -> List[Tuple[str, int]]:
         files: List[Tuple[str, int]] = []
@@ -125,16 +143,7 @@ class WavCropDataset:
             wav = np.zeros((batch_size, crop), np.float32)
             pad = np.ones((batch_size, crop), bool)
             for row, i in enumerate(idx):
-                path, _frames = files[int(i)]
-                audio, sr = read_wav(path)
-                if audio.ndim == 2:
-                    audio = audio.mean(axis=1)
-                if sr != pcfg.sample_rate:
-                    raise ValueError(
-                        f"{path}: sample rate {sr} != {pcfg.sample_rate} "
-                        "(run the audio format fixer first)"
-                    )
-                audio = audio.astype(np.float32)
+                audio = self._load_audio(files[int(i)])
                 # fairseq RawAudioDataset normalizes the FULL clip in
                 # __getitem__ and crops in the collater — matching the
                 # extraction path, which also normalizes whole clips
@@ -163,6 +172,7 @@ def run_d2v_pretrain(
     checkpoint_every: int = 1000,
     resume: bool = False,
     mesh=None,
+    binarized: bool = False,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
@@ -210,7 +220,12 @@ def run_d2v_pretrain(
         step_fn = make_sharded_d2v_step(model, tx, mesh)
     else:
         step_fn = make_d2v_train_step(model, tx)
-    ds = WavCropDataset(manifest_dirs, pcfg, weights=weights)
+    if binarized:
+        from ..data.binarized import BinarizedWavDataset
+
+        ds = BinarizedWavDataset(manifest_dirs, pcfg, weights=weights)
+    else:
+        ds = WavCropDataset(manifest_dirs, pcfg, weights=weights)
     logger.info(
         "d2v pretrain: %d clips, %d steps/epoch, %d total steps",
         len(ds), ds.num_batches(pcfg.batch_size), pcfg.max_steps,

@@ -1,0 +1,121 @@
+"""Packed (binarized) audio store — the BinarizedAudioDataset analogue
+(reference upstream/tasks/audio_pretraining.py:144-156).
+
+The load-bearing property: a packed run is BIT-IDENTICAL to the
+wav-manifest run it was packed from (same epoch composition, shuffling,
+crop draws, normalization), so `--binarized` is purely an IO optimization.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.binarized import (
+    BinarizedWavDataset,
+    is_packed_dir,
+    pack_manifest,
+)
+from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+    WavCropDataset,
+)
+
+from test_d2v_pretrain import _write_wav_corpus, tiny_pcfg
+
+
+def test_packed_batches_bitwise_equal_to_wav_manifest(tmp_path):
+    d = _write_wav_corpus(tmp_path)
+    out = os.path.join(str(tmp_path), "packed")
+    n, total = pack_manifest(d, out)
+    assert n == 6 and total == 4000 + 4200 + 5000 + 6000 + 7000 + 9000
+    assert is_packed_dir(out)
+
+    pcfg = tiny_pcfg(crop_size=6000, min_sample_size=4500, batch_size=2)
+    ds_wav = WavCropDataset([d], pcfg)
+    ds_bin = BinarizedWavDataset([out], pcfg)
+    assert len(ds_bin) == len(ds_wav) == 4
+    for epoch in (0, 1):
+        bw = list(ds_wav.batches(epoch, 2))
+        bb = list(ds_bin.batches(epoch, 2))
+        assert len(bw) == len(bb) == 2
+        for (w1, p1), (w2, p2) in zip(bw, bb):
+            np.testing.assert_array_equal(w1, w2)
+            np.testing.assert_array_equal(p1, p2)
+
+
+def test_packed_weights_and_skip_match(tmp_path):
+    d = _write_wav_corpus(tmp_path)
+    out = os.path.join(str(tmp_path), "packed")
+    pack_manifest(d, out)
+    pcfg = tiny_pcfg(crop_size=5000, min_sample_size=0, batch_size=2)
+    ds_wav = WavCropDataset([d, d], pcfg, weights=[1.0, 0.5])
+    ds_bin = BinarizedWavDataset([out, out], pcfg, weights=[1.0, 0.5])
+    assert len(ds_bin) == len(ds_wav)
+    # mid-epoch resume (skip) replays the same tail
+    tail_w = list(ds_wav.batches(3, 2, skip=1))
+    tail_b = list(ds_bin.batches(3, 2, skip=1))
+    for (w1, p1), (w2, p2) in zip(tail_w, tail_b):
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(p1, p2)
+
+
+def test_packed_guards(tmp_path):
+    d = _write_wav_corpus(tmp_path)
+    out = os.path.join(str(tmp_path), "packed")
+    pack_manifest(d, out)
+    with pytest.raises(FileNotFoundError, match="d2v-pack"):
+        BinarizedWavDataset(
+            [os.path.join(str(tmp_path), "nope")], tiny_pcfg(min_sample_size=0)
+        )
+    with pytest.raises(ValueError, match="packed at"):
+        BinarizedWavDataset([out], tiny_pcfg(sample_rate=8000, min_sample_size=0))
+    # truncated bin file is detected
+    bin_path = os.path.join(out, "train.bin")
+    with open(bin_path, "r+b") as f:
+        f.truncate(os.path.getsize(bin_path) - 8)
+    with pytest.raises(ValueError, match="re-pack"):
+        BinarizedWavDataset([out], tiny_pcfg(min_sample_size=0))
+
+
+def test_cli_pack_and_binarized_pretrain(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
+        main,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    out = os.path.join(str(tmp_path), "packed")
+    rc = main(["d2v-pack", "--manifests", d, "--out-dirs", out])
+    assert rc == 0
+    with pytest.raises(SystemExit):  # main routes ValueError via parser.error
+        main(["d2v-pack", "--manifests", d, d, "--out-dirs", out])
+
+    _write_enc_json(tmp_path)
+    save = os.path.join(str(tmp_path), "run")
+    rc = main([
+        "d2v-pretrain", "--binarized", "--manifests", out,
+        "--save-dir", save, "--batch-size", "2", "--steps", "2",
+        "--warmup-steps", "1", "--crop-size", "2400",
+        "--min-sample-size", "0", "--clone-batch", "2",
+        "--mask-length", "3",
+        "--encoder-json", os.path.join(str(tmp_path), "enc.json"),
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(save, "encoder_params.msgpack"))
+
+
+def _write_enc_json(tmp_path):
+    import json
+
+    cfg = dict(
+        embed_dim=16,
+        depth=2,
+        num_heads=2,
+        prenet_depth=1,
+        conv_feature_layers=[[8, 4, 2], [8, 3, 2]],
+        conv_pos_depth=2,
+        conv_pos_width=10,
+        conv_pos_groups=2,
+        dtype="float32",
+    )
+    with open(os.path.join(str(tmp_path), "enc.json"), "w") as f:
+        json.dump(cfg, f)

@@ -2,6 +2,7 @@
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import jax
@@ -223,8 +224,6 @@ def test_http_pcm16_payload():
         assert out["label"] in p.class_names
 
         # bad base64 / odd byte count -> 400
-        import urllib.error
-
         for bad in ("!!!not-base64!!!", base64.b64encode(b"abc").decode()):
             try:
                 req = urllib.request.Request(
