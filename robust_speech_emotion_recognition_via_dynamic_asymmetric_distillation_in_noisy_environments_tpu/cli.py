@@ -100,6 +100,7 @@ def _cmd_d2v_pretrain(args):
         mask_length=args.mask_length,
         clone_batch=args.clone_batch,
         cls_loss=args.cls_loss,
+        rng_impl=args.prng,
     )
     weights = (
         [float(w) for w in args.weights.split(",")] if args.weights else None
@@ -508,6 +509,9 @@ def main(argv=None) -> int:
                    help="--manifests point at packed stores from `d2v-pack` "
                         "(BinarizedAudioDataset analogue, "
                         "audio_pretraining.py:144-156)")
+    p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
+                   help="rbg = TPU hardware generator: ~1.2x faster steps "
+                        "and ~13x faster compiles (different random stream)")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(

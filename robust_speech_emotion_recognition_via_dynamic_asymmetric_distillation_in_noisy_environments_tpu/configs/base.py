@@ -168,6 +168,13 @@ class D2vPretrainConfig:
     min_sample_size: int = 32_000
     normalize: bool = True
     random_seed: int = 42
+    # PRNG implementation for the training stream. "rbg" uses the TPU's
+    # hardware generator: measured 1.15-1.25x faster d2v steps (threefry's
+    # counter arithmetic is pure VPU work — dropout + mask draws are ~25
+    # ms/step at B=8) and ~13x faster XLA compiles (tools/roofline_d2v.py,
+    # PERFORMANCE.md round 3). Different random stream than the default;
+    # resume stays bit-exact within either choice.
+    rng_impl: str = "threefry"
 
 
 @dataclass(frozen=True)

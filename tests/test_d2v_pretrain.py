@@ -474,6 +474,64 @@ def test_run_d2v_pretrain_smoke(tmp_path):
     assert "block_0" in params["params"]
 
 
+def test_run_d2v_pretrain_rbg_and_resume(tmp_path, monkeypatch):
+    """rng_impl='rbg' (the TPU-fast generator, PERFORMANCE.md round 3):
+    the driver trains, and a crash-interrupted run resumed from the
+    checkpoint reproduces the uninterrupted run's history bit-exactly —
+    i.e. the typed rbg key round-trips key_data/wrap_key_data. The crash
+    pattern (not a shorter max_steps, which would change the cosine
+    schedule) mirrors test_run_d2v_pretrain_resume_continues_run."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+        d2v_pretrain as d2v_models,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(
+        crop_size=1500, min_sample_size=1000, batch_size=2,
+        max_steps=6, warmup_steps=1, clone_batch=2, rng_impl="rbg",
+    )
+
+    ref = os.path.join(str(tmp_path), "ref")
+    last = run_d2v_pretrain(cfg, pcfg, [d], ref, log_every=1,
+                            checkpoint_every=0)
+    assert np.isfinite(last["loss"])
+
+    real_make = d2v_models.make_d2v_train_step
+
+    def crashing_make(model, tx):
+        real_step = real_make(model, tx)
+        calls = {"n": 0}
+
+        def step(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError("simulated crash")
+            return real_step(*a, **kw)
+
+        return step
+
+    res = os.path.join(str(tmp_path), "res")
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", crashing_make)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_d2v_pretrain(cfg, pcfg, [d], res, log_every=1,
+                         checkpoint_every=3)
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", real_make)
+    run_d2v_pretrain(cfg, pcfg, [d], res, log_every=1, checkpoint_every=0,
+                     resume=True)
+
+    h_ref = json.load(open(os.path.join(ref, "d2v_training_history.json")))
+    h_res = json.load(open(os.path.join(res, "d2v_training_history.json")))
+    assert [e["step"] for e in h_res] == [e["step"] for e in h_ref]
+    for a, b in zip(h_ref, h_res):
+        assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
+
+
 def test_wav_crop_dataset_fractional_weights(tmp_path):
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
         WavCropDataset,

@@ -129,7 +129,8 @@ def main():
 
     def key(seed):
         # typed keys carry their impl through split()/flax fold_in
-        return jax.random.key(seed, impl=args.prng)
+        impl = {"threefry": "threefry2x32"}.get(args.prng, args.prng)
+        return jax.random.key(seed, impl=impl)
 
     model, tx, state = init_d2v_state(cfg, pcfg, key(0), example_len=args.crop)
     state = jax.device_put(state)
