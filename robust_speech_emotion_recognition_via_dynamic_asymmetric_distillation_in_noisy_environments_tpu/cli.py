@@ -19,6 +19,24 @@ import os
 import sys
 
 
+def _load_encoder_json(arg: str) -> dict:
+    """--encoder-json accepts an inline JSON object OR a path to a JSON
+    file (all commands, uniformly). conv_feature_layers lists become
+    tuples so the frozen EncoderConfig stays hashable for jit."""
+    import json
+
+    if arg.lstrip().startswith("{"):
+        kw = json.loads(arg)
+    else:
+        with open(arg, encoding="utf-8") as f:
+            kw = json.load(f)
+    if "conv_feature_layers" in kw:
+        kw["conv_feature_layers"] = tuple(
+            tuple(x) for x in kw["conv_feature_layers"]
+        )
+    return kw
+
+
 def _cmd_manifest(args):
     from .data import manifests
 
@@ -84,10 +102,7 @@ def _cmd_d2v_pretrain(args):
 
     enc_kw = {}
     if args.encoder_json:
-        import json
-
-        with open(args.encoder_json, encoding="utf-8") as f:
-            enc_kw = json.load(f)
+        enc_kw = _load_encoder_json(args.encoder_json)
     cfg = EncoderConfig(**enc_kw)
     pcfg = D2vPretrainConfig(
         batch_size=args.batch_size,
@@ -182,8 +197,6 @@ def _cmd_dad(args):
 def _cmd_dad_fused(args):
     """Fused wav->train mode: one XLA program per step does injection +
     extraction + the DAD update (train/fused_trainer.py)."""
-    import json
-
     from .configs import EncoderConfig, dad_preset
     from .models.convert import load_emotion2vec_checkpoint
     from .parallel.fused import FusedConfig
@@ -201,8 +214,7 @@ def _cmd_dad_fused(args):
 
     enc_kw = {"dtype": args.encoder_dtype}
     if args.encoder_json:
-        with open(args.encoder_json, encoding="utf-8") as f:
-            enc_kw.update(json.load(f))
+        enc_kw.update(_load_encoder_json(args.encoder_json))
     enc_cfg = EncoderConfig(**enc_kw)
     enc_params = load_emotion2vec_checkpoint(args.checkpoint, enc_cfg)
 

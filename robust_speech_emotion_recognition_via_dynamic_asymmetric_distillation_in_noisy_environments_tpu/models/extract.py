@@ -182,9 +182,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.encoder_json:
+        # inline JSON object or a path to a JSON file (same contract as the
+        # unified CLI's _load_encoder_json)
         import json
 
-        overrides = json.loads(args.encoder_json)
+        if args.encoder_json.lstrip().startswith("{"):
+            overrides = json.loads(args.encoder_json)
+        else:
+            with open(args.encoder_json, encoding="utf-8") as f:
+                overrides = json.load(f)
         if "conv_feature_layers" in overrides:
             overrides["conv_feature_layers"] = tuple(
                 tuple(x) for x in overrides["conv_feature_layers"]

@@ -103,6 +103,21 @@ def test_cli_pack_and_binarized_pretrain(tmp_path):
     assert os.path.exists(os.path.join(save, "encoder_params.msgpack"))
 
 
+def test_encoder_json_inline_or_file(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
+        _load_encoder_json,
+    )
+
+    inline = '{"embed_dim": 16, "conv_feature_layers": [[8, 4, 2]]}'
+    kw = _load_encoder_json(inline)
+    assert kw["embed_dim"] == 16
+    assert kw["conv_feature_layers"] == ((8, 4, 2),)  # hashable for jit
+    p = os.path.join(str(tmp_path), "enc.json")
+    with open(p, "w") as f:
+        f.write(inline)
+    assert _load_encoder_json(p) == kw
+
+
 def _write_enc_json(tmp_path):
     import json
 
