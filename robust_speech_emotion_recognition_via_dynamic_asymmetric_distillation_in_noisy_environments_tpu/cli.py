@@ -121,10 +121,10 @@ def _cmd_d2v_pretrain(args):
         [float(w) for w in args.weights.split(",")] if args.weights else None
     )
     mesh = None
-    if args.dp > 0:
+    if args.dp > 0 or args.tp > 1:
         from .parallel import make_mesh
 
-        mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
+        mesh = make_mesh((args.dp or 1) * args.tp, tp=args.tp)
     run_d2v_pretrain(
         cfg, pcfg, args.manifests, args.save_dir,
         weights=weights, init_checkpoint=args.init_checkpoint,
@@ -517,6 +517,10 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh size (0 = single device)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel split of the encoder blocks "
+                        "(params/EMA/AdamW moments sharded over heads/"
+                        "MLP-hidden; composes with --dp)")
     p.add_argument("--binarized", action="store_true",
                    help="--manifests point at packed stores from `d2v-pack` "
                         "(BinarizedAudioDataset analogue, "

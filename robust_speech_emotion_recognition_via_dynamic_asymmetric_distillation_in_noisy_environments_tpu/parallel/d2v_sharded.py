@@ -16,13 +16,32 @@ import jax
 from jax.sharding import Mesh
 
 from ..models.d2v_pretrain import D2vPretrainModel, D2vTrainState, make_d2v_train_step
-from .mesh import batch_sharding, replicated
+from .mesh import batch_sharding, encoder_param_sharding, replicated
 
 
 def place_d2v_state(state: D2vTrainState, mesh: Mesh) -> D2vTrainState:
-    """Replicates params/EMA/optimizer state across the mesh."""
-    rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), state)
+    """Places the train state on the mesh.
+
+    dp-only mesh: everything replicated (gradient all-reduce over ICI is
+    all the communication). With a 'tp' axis: the student params, their
+    EMA copies, and the AdamW moments are sharded with the same
+    heads/MLP-hidden layout the extraction forward uses
+    (mesh.encoder_param_sharding — the path rules key on attn/qkv/mlp
+    names, so they apply to any params-shaped tree: optimizer mu/nu and
+    ema_blocks included; conv/decoder/LN leaves and scalars replicate).
+    GSPMD then partitions every block matmul fwd+bwd over tp and inserts
+    the activation all-reduces, exactly like tp extraction."""
+
+    def place(tree):
+        sh = encoder_param_sharding(mesh, tree)
+        return jax.tree.map(jax.device_put, tree, sh)
+
+    return D2vTrainState(
+        params=place(state.params),
+        ema_blocks=place(state.ema_blocks),
+        opt_state=place(state.opt_state),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )
 
 
 def make_sharded_d2v_step(model: D2vPretrainModel, tx, mesh: Mesh):

@@ -399,6 +399,52 @@ def test_sharded_d2v_step_matches_single(rng):
     assert max(jax.tree.leaves(d)) < 1e-4
 
 
+def test_sharded_d2v_step_dp_tp_matches_single(rng):
+    """dp=2 x tp=4 pretraining step == single-device step: the student
+    params, EMA copies, and AdamW moments shard over heads/MLP-hidden
+    (place_d2v_state tp layout) while the batch shards over dp; GSPMD
+    partitions every block matmul fwd+bwd and the result is numerically
+    the single-device update."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+        make_sharded_d2v_step,
+        place_d2v_state,
+    )
+
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(batch_size=4)
+    model, tx, state = init_d2v_state(cfg, pcfg, jax.random.PRNGKey(0),
+                                      example_len=64)
+    wav = rng.normal(size=(4, 64)).astype(np.float32)
+    pad = np.zeros((4, 64), bool)
+    pad[2, 48:] = True
+    key = jax.random.PRNGKey(9)
+
+    step1 = make_d2v_train_step(model, tx)
+    s1, m1 = step1(jax.tree.map(jnp.copy, state), wav, pad, key)
+
+    mesh = make_mesh(8, tp=4)  # 2 x 4 (dp, tp)
+    placed = place_d2v_state(state, mesh)
+    # the tp layout actually shards something (qkv kernel over heads)
+    qkv = placed.params["params"]["block_0"]["attn"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    step8 = make_sharded_d2v_step(model, tx, mesh)
+    with mesh:
+        s8, m8 = step8(placed, wav, pad, key)
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.params, s8.params,
+    )
+    assert max(jax.tree.leaves(d)) < 1e-4
+    # EMA stayed coherent too (it is sharded like the params)
+    de = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.ema_blocks, s8.ema_blocks,
+    )
+    assert max(jax.tree.leaves(de)) < 1e-4
+
+
 def test_compute_var_sane(rng):
     y = rng.normal(size=(4, 6, 8)).astype(np.float32)
     v = float(compute_var(jnp.asarray(y)))
