@@ -129,6 +129,7 @@ def _cmd_d2v_pretrain(args):
         cfg, pcfg, args.manifests, args.save_dir,
         weights=weights, init_checkpoint=args.init_checkpoint,
         resume=args.resume, mesh=mesh, binarized=args.binarized,
+        transfer_dtype=args.transfer_dtype,
     )
     return 0
 
@@ -528,6 +529,11 @@ def main(argv=None) -> int:
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="rbg = TPU hardware generator: ~1.2x faster steps "
                         "and ~13x faster compiles (different random stream)")
+    p.add_argument("--transfer-dtype", default=None,
+                   metavar="DTYPE",
+                   help="ship wav batches host->device in this dtype "
+                        "(e.g. bfloat16; halves upload bytes on thin links, "
+                        "quantizes the waveform)")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(

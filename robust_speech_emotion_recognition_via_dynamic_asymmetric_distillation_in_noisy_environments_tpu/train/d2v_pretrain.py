@@ -173,6 +173,7 @@ def run_d2v_pretrain(
     resume: bool = False,
     mesh=None,
     binarized: bool = False,
+    transfer_dtype: Optional[str] = None,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
@@ -181,7 +182,14 @@ def run_d2v_pretrain(
 
     ``mesh`` (jax.sharding.Mesh): dp-shard every batch over the mesh
     (parallel/d2v_sharded.py) — numerically the single-device step on the
-    same global batch. batch_size must divide by the dp extent."""
+    same global batch. batch_size must divide by the dp extent.
+
+    ``transfer_dtype`` (e.g. "bfloat16"): ship wav batches to the device in
+    the narrower dtype and cast back on-device (prefetch transfer_fp32_as)
+    — halves the per-step host->device bytes, which dominates on a
+    thin-link attach; quantizes the waveform to bf16 precision (opt-in,
+    same contract as the fused trainer's --transfer-dtype). Single-device
+    only (with a mesh the sharded step places batches itself)."""
     from ..models.d2v_pretrain import (
         D2vTrainState,
         encoder_params,
@@ -208,6 +216,13 @@ def run_d2v_pretrain(
         )
         logger.info("initialized encoder from %s", init_checkpoint)
 
+    if mesh is not None and transfer_dtype:
+        # don't silently drop a requested perf flag (same contract as
+        # prefetch(depth<=0))
+        logger.warning(
+            "transfer_dtype=%s ignored: the mesh-sharded step places "
+            "batches itself", transfer_dtype,
+        )
     if mesh is not None:
         from ..parallel.d2v_sharded import make_sharded_d2v_step, place_d2v_state
 
@@ -277,35 +292,56 @@ def run_d2v_pretrain(
 
     done = int(state.step) >= pcfg.max_steps
     step = int(state.step)
+
+    def check_guards(at_step, m) -> bool:
+        """Variance collapse guards (reference config.py:77-83, no warmup
+        exemption). Returns True if training must abort."""
+        tvar, pvar = (
+            float(x)
+            for x in jax.device_get((m["target_var"], m["pred_var"]))
+        )
+        bad = False
+        if tvar < pcfg.min_target_var:
+            logger.error("target variance collapsed at step %d (%.4f < %.2f)",
+                         at_step, tvar, pcfg.min_target_var)
+            bad = True
+        if pvar < pcfg.min_pred_var:
+            logger.error("prediction variance collapsed at step %d "
+                         "(%.4f < %.2f)", at_step, pvar, pcfg.min_pred_var)
+            bad = True
+        return bad
+
+    # guards are evaluated for EVERY update from step 1, but the host reads
+    # step N's telemetry while step N+1 runs on the device (lag-1): the
+    # blocking device_get then overlaps compute instead of adding a full
+    # device round-trip to every step (the synchronous version cost a
+    # per-step sync on thin-link attaches). Deliberate deviation: a
+    # collapse at step N is detected after N+1 was dispatched — one extra
+    # (discarded) update, identical detection coverage.
+    pending = None  # (step index, metrics of that step)
     while not done:
         for wav, pad in prefetch(
             ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch),
             # with a mesh the sharded step dp-places the batch itself
             depth=2, to_device=mesh is None,
+            transfer_fp32_as=transfer_dtype if mesh is None else None,
         ):
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, wav, pad, key)
             step += 1  # host-side counter: no device sync needed to count
             batch_in_epoch += 1
-            # variance collapse guards, checked EVERY update from step 1
-            # (reference config.py:77-83 aborts on the offending update with
-            # no warmup exemption); one small device_get per step — the loop
-            # was already synchronous per step
-            tvar, pvar = (
-                float(x)
-                for x in jax.device_get(
-                    (metrics["target_var"], metrics["pred_var"])
-                )
-            )
-            if tvar < pcfg.min_target_var:
-                logger.error("target variance collapsed (%.4f < %.2f)",
-                             tvar, pcfg.min_target_var)
+            if pending is not None and check_guards(*pending):
                 done = True
-            if pvar < pcfg.min_pred_var:
-                logger.error("prediction variance collapsed (%.4f < %.2f)",
-                             pvar, pcfg.min_pred_var)
-                done = True
-            if step % log_every == 0 or step == 1 or done:
+            pending = (step, metrics)
+            if step >= pcfg.max_steps or done:
+                # last update in flight: nothing left to overlap with
+                if check_guards(*pending):
+                    done = True
+                pending = None
+            # the final update must be logged (and returned) even off the
+            # log_every grid
+            if (step % log_every == 0 or step == 1 or done
+                    or step >= pcfg.max_steps):
                 last = {k: float(v) for k, v in metrics.items()}
                 last["step"] = step
                 last["wall_s"] = round(time.time() - t0, 1)

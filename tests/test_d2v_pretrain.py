@@ -578,6 +578,46 @@ def test_run_d2v_pretrain_rbg_and_resume(tmp_path, monkeypatch):
         assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
 
 
+def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
+    """A variance collapse aborts training (reference config.py:77-83).
+    Guards are evaluated for every update from step 1; detection is lag-1
+    pipelined (PERFORMANCE.md), so a collapse at step 2 stops the run by
+    step 3."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+        d2v_pretrain as d2v_models,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=6, warmup_steps=1, clone_batch=2)
+
+    real_make = d2v_models.make_d2v_train_step
+
+    def collapsing_make(model, tx):
+        real_step = real_make(model, tx)
+        calls = {"n": 0}
+
+        def step(*a, **kw):
+            calls["n"] += 1
+            state, metrics = real_step(*a, **kw)
+            if calls["n"] == 2:
+                metrics = dict(metrics)
+                metrics["target_var"] = jnp.zeros(())
+            return state, metrics
+
+        return step
+
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", collapsing_make)
+    save = os.path.join(str(tmp_path), "out")
+    last = run_d2v_pretrain(cfg, pcfg, [d], save, log_every=1,
+                            checkpoint_every=0)
+    assert last["step"] <= 3  # aborted, not run to max_steps=6
+
+
 def test_wav_crop_dataset_fractional_weights(tmp_path):
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
         WavCropDataset,
