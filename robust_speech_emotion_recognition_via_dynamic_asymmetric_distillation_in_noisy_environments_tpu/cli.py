@@ -129,7 +129,7 @@ def _cmd_d2v_pretrain(args):
         cfg, pcfg, args.manifests, args.save_dir,
         weights=weights, init_checkpoint=args.init_checkpoint,
         resume=args.resume, mesh=mesh, binarized=args.binarized,
-        transfer_dtype=args.transfer_dtype,
+        transfer_dtype=args.transfer_dtype, scan_chunk=args.scan_chunk,
     )
     return 0
 
@@ -534,6 +534,10 @@ def main(argv=None) -> int:
                    help="ship wav batches host->device in this dtype "
                         "(e.g. bfloat16; halves upload bytes on thin links, "
                         "quantizes the waveform)")
+    p.add_argument("--scan-chunk", type=int, default=1,
+                   help="updates per XLA dispatch (lax.scan-stacked steps; "
+                        "bit-identical to per-step, amortizes dispatch "
+                        "latency; single-device only)")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(

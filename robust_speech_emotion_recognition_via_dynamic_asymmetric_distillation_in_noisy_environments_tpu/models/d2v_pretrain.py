@@ -387,7 +387,9 @@ def init_d2v_state(
     return model, tx, state
 
 
-def make_d2v_train_step(model: D2vPretrainModel, tx):
+def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
+    """jit=False returns the raw step body (used by the scan-chunk runner,
+    which jits the whole chunk instead)."""
     cfg, pcfg = model.cfg, model.pcfg
 
     def loss_fn(params, ema_blocks, wav, wav_pad, key, step):
@@ -495,7 +497,6 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
         }
         return total, metrics
 
-    @partial(jax.jit, donate_argnums=(0,))
     def step_fn(state: D2vTrainState, wav, wav_pad, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.ema_blocks, wav, wav_pad, key, state.step
@@ -521,4 +522,40 @@ def make_d2v_train_step(model: D2vPretrainModel, tx):
         )
         return new_state, metrics
 
+    if jit:
+        return jax.jit(step_fn, donate_argnums=(0,))
     return step_fn
+
+
+@partial(jax.jit, static_argnums=(1,))
+def split_chunk_keys(rng: jax.Array, k: int):
+    """(rng', keys (k,)) via k ITERATED binary splits — bit-identical to the
+    per-step driver's `rng, key = jax.random.split(rng)` sequence, in one
+    device dispatch instead of k (per-dispatch latency dominates on
+    remote-attached chips; PERFORMANCE.md d2v driver table)."""
+
+    def body(r, _):
+        r, kk = jax.random.split(r)
+        return r, kk
+
+    return jax.lax.scan(body, rng, None, length=k)
+
+
+def make_d2v_chunk_runner(model: D2vPretrainModel, tx):
+    """lax.scan of the train-step body over k stacked batches: ONE XLA
+    dispatch advances k updates (the d2v analogue of the DAD trainer's
+    --scan-chunk, dad/epoch_scan.py). Returns
+    run(state, wavs (k,B,T), pads (k,B,T), keys (k,)) ->
+    (state', metrics stacked (k,)); numerically identical to k calls of
+    make_d2v_train_step with the same keys (tested)."""
+    body_fn = make_d2v_train_step(model, tx, jit=False)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: D2vTrainState, wavs, pads, keys):
+        def body(s, xs):
+            w, p, k = xs
+            return body_fn(s, w, p, k)
+
+        return jax.lax.scan(body, state, (wavs, pads, keys))
+
+    return run

@@ -174,6 +174,7 @@ def run_d2v_pretrain(
     mesh=None,
     binarized: bool = False,
     transfer_dtype: Optional[str] = None,
+    scan_chunk: int = 1,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
@@ -189,12 +190,19 @@ def run_d2v_pretrain(
     — halves the per-step host->device bytes, which dominates on a
     thin-link attach; quantizes the waveform to bf16 precision (opt-in,
     same contract as the fused trainer's --transfer-dtype). Single-device
-    only (with a mesh the sharded step places batches itself)."""
+    only (with a mesh the sharded step places batches itself).
+
+    ``scan_chunk``: advance this many updates per XLA dispatch
+    (lax.scan-stacked steps, models/d2v_pretrain.py:make_d2v_chunk_runner
+    — the d2v analogue of the DAD trainer's --scan-chunk). Bit-identical
+    to per-step execution (the chunk consumes the same iterated key
+    stream); collapse-guard detection lags by up to 2*scan_chunk-1
+    updates. Single-device only."""
     from ..models.d2v_pretrain import (
         D2vTrainState,
         encoder_params,
         init_d2v_state,
-        make_d2v_train_step,
+        split_chunk_keys,
     )
     from .checkpointing import restore_train_state, save_train_state
 
@@ -223,6 +231,13 @@ def run_d2v_pretrain(
             "transfer_dtype=%s ignored: the mesh-sharded step places "
             "batches itself", transfer_dtype,
         )
+    if mesh is not None and scan_chunk > 1:
+        logger.warning(
+            "scan_chunk=%d ignored under a mesh (per-batch dispatch)",
+            scan_chunk,
+        )
+    chunk = 1
+    chunk_runner = None
     if mesh is not None:
         from ..parallel.d2v_sharded import make_sharded_d2v_step, place_d2v_state
 
@@ -233,8 +248,18 @@ def run_d2v_pretrain(
             )
         state = place_d2v_state(state, mesh)
         step_fn = make_sharded_d2v_step(model, tx, mesh)
+    elif scan_chunk > 1:
+        from ..models import d2v_pretrain as _d2v_models
+
+        chunk = scan_chunk
+        step_fn = None
+        chunk_runner = _d2v_models.make_d2v_chunk_runner(model, tx)
     else:
-        step_fn = make_d2v_train_step(model, tx)
+        # resolved through the module so test instrumentation
+        # (monkeypatched step factories) keeps working
+        from ..models import d2v_pretrain as _d2v_models
+
+        step_fn = _d2v_models.make_d2v_train_step(model, tx)
     if binarized:
         from ..data.binarized import BinarizedWavDataset
 
@@ -293,68 +318,113 @@ def run_d2v_pretrain(
     done = int(state.step) >= pcfg.max_steps
     step = int(state.step)
 
-    def check_guards(at_step, m) -> bool:
-        """Variance collapse guards (reference config.py:77-83, no warmup
-        exemption). Returns True if training must abort."""
-        tvar, pvar = (
-            float(x)
-            for x in jax.device_get((m["target_var"], m["pred_var"]))
-        )
-        bad = False
-        if tvar < pcfg.min_target_var:
-            logger.error("target variance collapsed at step %d (%.4f < %.2f)",
-                         at_step, tvar, pcfg.min_target_var)
-            bad = True
-        if pvar < pcfg.min_pred_var:
-            logger.error("prediction variance collapsed at step %d "
-                         "(%.4f < %.2f)", at_step, pvar, pcfg.min_pred_var)
-            bad = True
-        return bad
-
-    # guards are evaluated for EVERY update from step 1, but the host reads
-    # step N's telemetry while step N+1 runs on the device (lag-1): the
-    # blocking device_get then overlaps compute instead of adding a full
-    # device round-trip to every step (the synchronous version cost a
-    # per-step sync on thin-link attaches). Deliberate deviation: a
-    # collapse at step N is detected after N+1 was dispatched — one extra
-    # (discarded) update, identical detection coverage.
-    pending = None  # (step index, metrics of that step)
-    while not done:
-        for wav, pad in prefetch(
-            ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch),
-            # with a mesh the sharded step dp-places the batch itself
-            depth=2, to_device=mesh is None,
-            transfer_fp32_as=transfer_dtype if mesh is None else None,
-        ):
-            rng, key = jax.random.split(rng)
-            state, metrics = step_fn(state, wav, pad, key)
-            step += 1  # host-side counter: no device sync needed to count
-            batch_in_epoch += 1
-            if pending is not None and check_guards(*pending):
-                done = True
-            pending = (step, metrics)
-            if step >= pcfg.max_steps or done:
-                # last update in flight: nothing left to overlap with
-                if check_guards(*pending):
-                    done = True
-                pending = None
-            # the final update must be logged (and returned) even off the
-            # log_every grid
-            if (step % log_every == 0 or step == 1 or done
-                    or step >= pcfg.max_steps):
-                last = {k: float(v) for k, v in metrics.items()}
-                last["step"] = step
+    def process_chunk(first: int, k: int, mstack) -> bool:
+        """Host-side handling of one dispatched chunk's stacked metrics:
+        variance collapse guards per update (reference config.py:77-83, no
+        warmup exemption) + history logging. Returns True on abort."""
+        nonlocal last
+        m = {
+            kk: np.atleast_1d(np.asarray(v))
+            for kk, v in jax.device_get(mstack).items()
+        }
+        for i in range(k):
+            s = first + i
+            abort = False
+            if float(m["target_var"][i]) < pcfg.min_target_var:
+                logger.error(
+                    "target variance collapsed at step %d (%.4f < %.2f)",
+                    s, float(m["target_var"][i]), pcfg.min_target_var,
+                )
+                abort = True
+            if float(m["pred_var"][i]) < pcfg.min_pred_var:
+                logger.error(
+                    "prediction variance collapsed at step %d (%.4f < %.2f)",
+                    s, float(m["pred_var"][i]), pcfg.min_pred_var,
+                )
+                abort = True
+            # the final/aborting update must be logged (and returned) even
+            # off the log_every grid
+            if (s % log_every == 0 or s == 1 or abort
+                    or s >= pcfg.max_steps):
+                last = {kk: float(v[i]) for kk, v in m.items()}
+                last["step"] = s
                 last["wall_s"] = round(time.time() - t0, 1)
                 history.append(last)
                 logger.info(
                     "step %d | loss %.4f (d2v %.4f cls %.4f) | tvar %.3f "
                     "pvar %.3f | decay %.5f",
-                    step, last["loss"], last["d2v_loss"], last["cls_loss"],
+                    s, last["loss"], last["d2v_loss"], last["cls_loss"],
                     last["target_var"], last["pred_var"], last["ema_decay"],
                 )
-            if checkpoint_every and step % checkpoint_every == 0:
+            if abort:
+                return True
+        return False
+
+    def chunked(batches, budget):
+        """Stacks up to ``chunk`` consecutive batches to (k, B, T), never
+        emitting more than ``budget`` steps in total (so a chunk can't
+        overrun max_steps); epoch-end/budget-end partials compile their own
+        scan length."""
+        buf, used = [], 0
+        for wav, pad in batches:
+            buf.append((wav, pad))
+            if len(buf) == chunk or used + len(buf) >= budget:
+                yield (np.stack([w for w, _ in buf]),
+                       np.stack([p for _, p in buf]))
+                used += len(buf)
+                buf = []
+                if used >= budget:
+                    return
+        if buf:
+            yield (np.stack([w for w, _ in buf]),
+                   np.stack([p for _, p in buf]))
+
+    # guards are evaluated for EVERY update from step 1, but the host reads
+    # a chunk's telemetry while the NEXT chunk runs on the device (lag-1):
+    # the blocking device_get then overlaps compute instead of adding a
+    # full device round-trip per dispatch (the synchronous version cost a
+    # per-step sync on thin-link attaches — PERFORMANCE.md driver table).
+    # Deliberate deviation: a collapse in chunk C is detected after chunk
+    # C+1 was dispatched — up to 2*chunk-1 extra (discarded) updates,
+    # identical detection coverage.
+    pending = None  # (first step index, k, stacked metrics of that chunk)
+    while not done:
+        src = ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch)
+        if chunk > 1:
+            src = chunked(src, pcfg.max_steps - step)
+        for wavs, pads in prefetch(
+            src,
+            # with a mesh the sharded step dp-places the batch itself
+            depth=2, to_device=mesh is None,
+            transfer_fp32_as=transfer_dtype if mesh is None else None,
+        ):
+            if chunk > 1:
+                k = int(wavs.shape[0])
+                rng, keys = split_chunk_keys(rng, k)
+                state, mstack = chunk_runner(state, wavs, pads, keys)
+            else:
+                k = 1
+                rng, key = jax.random.split(rng)
+                state, mstack = step_fn(state, wavs, pads, key)
+            first = step + 1
+            step += k  # host-side counter: no device sync needed to count
+            batch_in_epoch += k
+            if pending is not None and process_chunk(*pending):
+                done = True
+            pending = (first, k, mstack)
+            at_end = step >= pcfg.max_steps
+            crossed = bool(checkpoint_every) and (
+                step // checkpoint_every > (first - 1) // checkpoint_every
+            )
+            if at_end or done or crossed:
+                # drain before checkpointing/stopping so history and the
+                # returned metrics are complete
+                if process_chunk(*pending):
+                    done = True
+                pending = None
+            if crossed:
                 save_ckpt(step)
-            if step >= pcfg.max_steps or done:
+            if at_end or done:
                 done = True
                 break
         else:

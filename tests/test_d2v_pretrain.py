@@ -578,6 +578,56 @@ def test_run_d2v_pretrain_rbg_and_resume(tmp_path, monkeypatch):
         assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
 
 
+def test_split_chunk_keys_matches_iterated_splits():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_pretrain import (
+        split_chunk_keys,
+    )
+
+    for impl in ("threefry2x32", "rbg"):
+        rng = jax.random.key(3, impl=impl)
+        r_iter, ks_iter = rng, []
+        for _ in range(5):
+            r_iter, kk = jax.random.split(r_iter)
+            ks_iter.append(kk)
+        r_scan, ks_scan = split_chunk_keys(rng, 5)
+        assert np.array_equal(jax.random.key_data(r_iter),
+                              jax.random.key_data(r_scan))
+        assert np.array_equal(
+            np.stack([np.asarray(jax.random.key_data(k)) for k in ks_iter]),
+            np.asarray(jax.random.key_data(ks_scan)),
+        )
+
+
+def test_run_d2v_pretrain_scan_chunk_matches_per_step(tmp_path):
+    """scan_chunk=3 over 7 steps (two full chunks + a partial one) produces
+    a bit-identical history to the per-step run — one XLA dispatch per
+    chunk, same key stream (split_chunk_keys), same logging grid."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=7, warmup_steps=1, clone_batch=2)
+
+    a = os.path.join(str(tmp_path), "per_step")
+    b = os.path.join(str(tmp_path), "chunked")
+    run_d2v_pretrain(cfg, pcfg, [d], a, log_every=1, checkpoint_every=0)
+    run_d2v_pretrain(cfg, pcfg, [d], b, log_every=1, checkpoint_every=0,
+                     scan_chunk=3)
+    h_a = json.load(open(os.path.join(a, "d2v_training_history.json")))
+    h_b = json.load(open(os.path.join(b, "d2v_training_history.json")))
+    assert [e["step"] for e in h_b] == [e["step"] for e in h_a] == list(
+        range(1, 8)
+    )
+    for ea, eb in zip(h_a, h_b):
+        for key in ("loss", "d2v_loss", "cls_loss", "target_var", "pred_var"):
+            assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key, ea, eb)
+
+
 def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
     """A variance collapse aborts training (reference config.py:77-83).
     Guards are evaluated for every update from step 1; detection is lag-1
