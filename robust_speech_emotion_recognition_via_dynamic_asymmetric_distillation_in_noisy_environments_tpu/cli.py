@@ -130,6 +130,8 @@ def _cmd_d2v_pretrain(args):
         weights=weights, init_checkpoint=args.init_checkpoint,
         resume=args.resume, mesh=mesh, binarized=args.binarized,
         transfer_dtype=args.transfer_dtype, scan_chunk=args.scan_chunk,
+        valid_manifests=args.valid_manifests, valid_split=args.valid_split,
+        valid_every=args.valid_every,
     )
     return 0
 
@@ -538,6 +540,13 @@ def main(argv=None) -> int:
                    help="updates per XLA dispatch (lax.scan-stacked steps; "
                         "bit-identical to per-step, amortizes dispatch "
                         "latency; single-device only)")
+    p.add_argument("--valid-manifests", nargs="+", default=None,
+                   help="manifest dirs with a <valid-split>.tsv: run the "
+                        "masked objective there every --valid-every steps "
+                        "(dropout off, fixed masks) and keep the best state "
+                        "(the fairseq validate/checkpoint_best analogue)")
+    p.add_argument("--valid-split", default="valid")
+    p.add_argument("--valid-every", type=int, default=1000)
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(
@@ -563,7 +572,9 @@ def main(argv=None) -> int:
     # step runs injection + extraction + the DAD update
     p.add_argument("--from-wav", default=None, metavar="MANIFEST_DIR",
                    help="train fused from a clean wav manifest dir "
-                        "(on-device noise injection; replaces --clean/--noisy)")
+                        "(on-device noise injection; replaces --clean/"
+                        "--noisy). Also accepts a packed dir from "
+                        "`d2v-pack` (decode-once startup)")
     p.add_argument("--checkpoint", default=None,
                    help="emotion2vec encoder weights (--from-wav mode)")
     p.add_argument("--encoder-dtype", default="bfloat16",

@@ -68,6 +68,14 @@ def pack_manifest(
         sample_rate=np.int64(sample_rate),
         version=np.int64(_FORMAT_VERSION),
     )
+    # carry the label/speaker sidecars along so the packed dir is a full
+    # training source (fused trainer wav stores read them too)
+    import shutil
+
+    for ext in (".emo", ".lbl", ".spk"):
+        src = os.path.join(manifest_dir, split + ext)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(out_dir, split + ext))
     total = int(sum(lengths))
     logger.info(
         "packed %d clips (%d samples, %.1f MB) -> %s",

@@ -113,35 +113,61 @@ def load_wav_store(
     split: str = "train",
 ) -> WavStore:
     """Loads every wav in a manifest into one flat RAM array, with labels
-    and fold groups from the standard sidecars."""
+    and fold groups from the standard sidecars.
+
+    Also accepts a PACKED dir from `cli d2v-pack` (data/binarized.py): its
+    contiguous float32 .bin IS this store's flat layout, so the decode loop
+    is replaced by one file read (sidecars are packed alongside)."""
     import os
 
     from ..audio.wavio import read_wav
+    from .binarized import is_packed_dir
 
-    root, files = read_manifest(manifest_dir, split)
     raw_labels, utt_names, raw_groups = _read_sidecars(manifest_dir, split)
 
-    clips = []
-    for rel, _frames in files:
-        wav, sr = read_wav(os.path.join(root, rel))
-        if wav.ndim == 2:
-            wav = np.mean(wav, axis=1)
+    if is_packed_dir(manifest_dir, split):
+        idx = np.load(os.path.join(manifest_dir, f"{split}.idx.npz"))
+        sr = int(idx["sample_rate"])
         if sr != 16000:
-            raise ValueError(f"{rel}: expected 16 kHz, got {sr} "
-                             "(run fix-format first)")
-        clips.append(wav.astype(np.float32))
-    if raw_labels is not None and len(raw_labels) != len(clips):
+            raise ValueError(f"{manifest_dir}: packed at {sr} Hz != 16000")
+        sizes = idx["lengths"].astype(np.int64)
+        samples = np.fromfile(
+            os.path.join(manifest_dir, f"{split}.bin"), np.float32
+        )
+        if samples.shape[0] != int(sizes.sum()):
+            raise ValueError(
+                f"{manifest_dir}/{split}.bin size {samples.shape[0]} != "
+                f"index total {int(sizes.sum())} (re-pack the store)"
+            )
+        clips = None
+        n_clips = len(sizes)
+    else:
+        root, files = read_manifest(manifest_dir, split)
+        clips = []
+        for rel, _frames in files:
+            wav, sr = read_wav(os.path.join(root, rel))
+            if wav.ndim == 2:
+                wav = np.mean(wav, axis=1)
+            if sr != 16000:
+                raise ValueError(f"{rel}: expected 16 kHz, got {sr} "
+                                 "(run fix-format first)")
+            clips.append(wav.astype(np.float32))
+        sizes = np.asarray([len(c) for c in clips], np.int64)
+        samples = (
+            np.concatenate(clips) if clips else np.zeros(0, np.float32)
+        )
+        n_clips = len(clips)
+    if raw_labels is not None and len(raw_labels) != n_clips:
         raise ValueError(
-            f"{manifest_dir}: {len(raw_labels)} labels != {len(clips)} clips"
+            f"{manifest_dir}: {len(raw_labels)} labels != {n_clips} clips"
         )
 
-    sizes = np.asarray([len(c) for c in clips], np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     labels = None
     if raw_labels is not None and label_map is not None:
         labels = np.asarray([label_map[x] for x in raw_labels], np.int32)
     store = WavStore(
-        samples=np.concatenate(clips) if clips else np.zeros(0, np.float32),
+        samples=samples,
         sizes=sizes,
         offsets=offsets,
         labels=labels,

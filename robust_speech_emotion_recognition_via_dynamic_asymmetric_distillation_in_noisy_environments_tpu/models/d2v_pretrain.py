@@ -387,12 +387,16 @@ def init_d2v_state(
     return model, tx, state
 
 
-def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
-    """jit=False returns the raw step body (used by the scan-chunk runner,
-    which jits the whole chunk instead)."""
+def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
+    """The complete d2v objective (teacher targets, masked student,
+    decoder, frame + utterance losses, collapse telemetry) as a pure
+    function of (params, ema_blocks, wav, wav_pad, key). ``train=False``
+    disables the dropouts (fairseq ``model.eval()`` validation
+    semantics; masking still draws from ``key``, so a fixed key gives a
+    stable comparable validation metric)."""
     cfg, pcfg = model.cfg, model.pcfg
 
-    def loss_fn(params, ema_blocks, wav, wav_pad, key, step):
+    def loss_fn(params, ema_blocks, wav, wav_pad, key):
         k_mask, k_drop, k_tok, k_din, k_dtok, k_chan = jax.random.split(key, 6)
 
         x_local, frame_mask = model.apply(
@@ -459,15 +463,15 @@ def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
         x_kept = gather_unmasked(x_masked, info) + gather_unmasked(x_pos, info)
         pm_kept = gather_unmasked_mask(fm_rep, info)
         x_enc, _ = model.apply(
-            params, x_kept, pm_kept, False,
+            params, x_kept, pm_kept, not train,
             method=D2vPretrainModel.contextualize,
-            rngs={"dropout": k_drop},
+            **({"rngs": {"dropout": k_drop}} if train else {}),
         )
 
         # --- decoder input: dropout on encoder outputs only (base.py:158-160),
         # then mask-token restoration ---
         rate = pcfg.decoder.input_dropout
-        if rate > 0:
+        if train and rate > 0:
             keep = jax.random.bernoulli(k_din, 1.0 - rate, x_enc.shape)
             x_enc = jnp.where(keep, x_enc / (1.0 - rate), 0.0).astype(x_enc.dtype)
         # independent stream from apply_mask's replacement noise (same-key
@@ -497,9 +501,32 @@ def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
         }
         return total, metrics
 
+    return loss_fn
+
+
+def make_d2v_eval_step(model: D2vPretrainModel):
+    """jitted (params, ema_blocks, wav, pad, key) -> metrics with NO
+    update — the fairseq validate() analogue over the same masked
+    objective."""
+    loss_fn = make_d2v_loss_fn(model, train=False)
+
+    @jax.jit
+    def eval_fn(params, ema_blocks, wav, wav_pad, key):
+        _, metrics = loss_fn(params, ema_blocks, wav, wav_pad, key)
+        return metrics
+
+    return eval_fn
+
+
+def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
+    """jit=False returns the raw step body (used by the scan-chunk runner,
+    which jits the whole chunk instead)."""
+    cfg, pcfg = model.cfg, model.pcfg
+    loss_fn = make_d2v_loss_fn(model, train=True)
+
     def step_fn(state: D2vTrainState, wav, wav_pad, key):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.ema_blocks, wav, wav_pad, key, state.step
+            state.params, state.ema_blocks, wav, wav_pad, key
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

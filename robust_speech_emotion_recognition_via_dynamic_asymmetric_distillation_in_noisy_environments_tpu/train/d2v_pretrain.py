@@ -175,6 +175,9 @@ def run_d2v_pretrain(
     binarized: bool = False,
     transfer_dtype: Optional[str] = None,
     scan_chunk: int = 1,
+    valid_manifests: Optional[Sequence[str]] = None,
+    valid_split: str = "valid",
+    valid_every: int = 1000,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
@@ -197,7 +200,14 @@ def run_d2v_pretrain(
     — the d2v analogue of the DAD trainer's --scan-chunk). Bit-identical
     to per-step execution (the chunk consumes the same iterated key
     stream); collapse-guard detection lags by up to 2*scan_chunk-1
-    updates. Single-device only."""
+    updates. Single-device only.
+
+    ``valid_manifests``: the fairseq periodic-validation analogue — every
+    ``valid_every`` steps (and at the end) the masked objective runs over
+    ``<dir>/<valid_split>.tsv`` with dropout off and a FIXED key/crop
+    stream (comparable across passes); valid_loss entries land in the
+    history, the best state is kept as ``d2v_best_state.msgpack``, and
+    its encoder subtree is exported as ``encoder_params_best.msgpack``."""
     from ..models.d2v_pretrain import (
         D2vTrainState,
         encoder_params,
@@ -282,6 +292,7 @@ def run_d2v_pretrain(
     batch_in_epoch = 0  # batches consumed of the CURRENT epoch
 
     ckpt_path = os.path.join(save_dir, "d2v_last_state.msgpack")
+    meta = {}
     if resume and os.path.exists(ckpt_path):
         # full resume: params/opt/EMA from the state, plus rng stream, epoch
         # position and logging history from the metadata — a resumed run
@@ -312,8 +323,56 @@ def run_d2v_pretrain(
                 "batch_in_epoch": batch_in_epoch,
                 "rng": np.asarray(jax.random.key_data(rng)).tolist(),
                 "history": history,
+                "best_valid": (
+                    best_valid if np.isfinite(best_valid) else None
+                ),
             },
         )
+
+    # periodic validation (the fairseq update loop's validate() +
+    # checkpoint_best analogue)
+    valid_ds = None
+    _bv = meta.get("best_valid")
+    best_valid = float("inf") if _bv is None else float(_bv)
+    best_path = os.path.join(save_dir, "d2v_best_state.msgpack")
+    if valid_manifests:
+        from ..models import d2v_pretrain as _d2v_eval_models
+
+        if binarized:
+            from ..data.binarized import BinarizedWavDataset
+
+            valid_ds = BinarizedWavDataset(
+                valid_manifests, pcfg, split=valid_split
+            )
+        else:
+            valid_ds = WavCropDataset(valid_manifests, pcfg, split=valid_split)
+        eval_fn = _d2v_eval_models.make_d2v_eval_step(model)
+
+    def run_validation(at_step: int):
+        nonlocal best_valid
+        # fixed key/crop stream (epoch 0 crops, deterministic masks): the
+        # metric is comparable across validation passes
+        vkey = jax.random.key(pcfg.random_seed + 2, impl=rng_impl)
+        losses = []
+        for wav, pad in valid_ds.batches(0, pcfg.batch_size):
+            vkey, k = jax.random.split(vkey)
+            m = eval_fn(state.params, state.ema_blocks, wav, pad, k)
+            losses.append(float(m["loss"]))
+        if not losses:
+            return
+        vl = float(np.mean(losses))
+        entry = {"step": at_step, "valid_loss": vl,
+                 "wall_s": round(time.time() - t0, 1)}
+        history.append(entry)
+        improved = vl < best_valid
+        logger.info("valid @ step %d | loss %.4f over %d batches%s",
+                    at_step, vl, len(losses), " (best)" if improved else "")
+        if improved:
+            best_valid = vl
+            save_train_state(
+                best_path, state,
+                metadata={"step": at_step, "valid_loss": vl},
+            )
 
     done = int(state.step) >= pcfg.max_steps
     step = int(state.step)
@@ -416,12 +475,19 @@ def run_d2v_pretrain(
             crossed = bool(checkpoint_every) and (
                 step // checkpoint_every > (first - 1) // checkpoint_every
             )
-            if at_end or done or crossed:
-                # drain before checkpointing/stopping so history and the
-                # returned metrics are complete
+            vcrossed = (
+                valid_ds is not None
+                and valid_every > 0
+                and step // valid_every > (first - 1) // valid_every
+            )
+            if at_end or done or crossed or vcrossed:
+                # drain before checkpointing/validating/stopping so history
+                # and the returned metrics are complete and ordered
                 if process_chunk(*pending):
                     done = True
                 pending = None
+            if vcrossed and not (at_end or done):
+                run_validation(step)  # the final pass runs after the loop
             if crossed:
                 save_ckpt(step)
             if at_end or done:
@@ -431,9 +497,19 @@ def run_d2v_pretrain(
             epoch += 1
             batch_in_epoch = 0
 
+    if valid_ds is not None:
+        run_validation(int(state.step))
     save_ckpt(int(state.step))
     enc_path = os.path.join(save_dir, "encoder_params.msgpack")
     save_train_state(enc_path, encoder_params(state.params))
+    if valid_ds is not None and os.path.exists(best_path):
+        best_state, _bmeta = restore_train_state(best_path, state)
+        save_train_state(
+            os.path.join(save_dir, "encoder_params_best.msgpack"),
+            encoder_params(best_state.params),
+        )
+        logger.info("best valid loss %.4f -> encoder_params_best.msgpack",
+                    best_valid)
     dump_json(history, os.path.join(save_dir, "d2v_training_history.json"))
     logger.info("saved %s (+ encoder subtree %s)", ckpt_path, enc_path)
     return last

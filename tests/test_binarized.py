@@ -103,6 +103,33 @@ def test_cli_pack_and_binarized_pretrain(tmp_path):
     assert os.path.exists(os.path.join(save, "encoder_params.msgpack"))
 
 
+def test_wav_store_loads_packed_dir(tmp_path):
+    """The fused trainer's WavStore reads packed dirs directly (the .bin IS
+    its flat layout), sidecars included — so `dad --from-wav` can consume
+    d2v-pack output without re-decoding wavs."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.wavstore import (
+        load_wav_store,
+    )
+
+    d = _write_wav_corpus(tmp_path)
+    labels = ["angry", "happy", "sad", "neutral", "angry", "happy"]
+    with open(os.path.join(d, "train.lbl"), "w") as f:
+        f.write("\n".join(labels) + "\n")
+    with open(os.path.join(d, "train.spk"), "w") as f:
+        f.write("\n".join(f"spk_{i % 2}" for i in range(6)) + "\n")
+    out = os.path.join(str(tmp_path), "packed")
+    pack_manifest(d, out)
+
+    lm = {"angry": 0, "happy": 1, "neutral": 2, "sad": 3}
+    a = load_wav_store(d, label_map=lm)
+    b = load_wav_store(out, label_map=lm)
+    np.testing.assert_array_equal(a.samples, b.samples)
+    np.testing.assert_array_equal(a.sizes, b.sizes)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.groups, b.groups)
+    assert a.label_names == b.label_names
+
+
 def test_encoder_json_inline_or_file(tmp_path):
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
         _load_encoder_json,

@@ -628,6 +628,45 @@ def test_run_d2v_pretrain_scan_chunk_matches_per_step(tmp_path):
             assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key, ea, eb)
 
 
+def test_run_d2v_pretrain_validation_tracks_best(tmp_path):
+    """--valid-manifests: periodic masked-objective validation (fairseq
+    validate()/checkpoint_best analogue) — valid_loss history entries on
+    the valid_every grid + at the end, best state kept, best encoder
+    exported, and the TRAINING stream untouched (same final train loss as
+    a run without validation)."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    import shutil
+
+    shutil.copy2(os.path.join(d, "train.tsv"), os.path.join(d, "valid.tsv"))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=5, warmup_steps=1, clone_batch=2)
+
+    plain = os.path.join(str(tmp_path), "plain")
+    r1 = run_d2v_pretrain(cfg, pcfg, [d], plain, log_every=1,
+                          checkpoint_every=0)
+
+    out = os.path.join(str(tmp_path), "val")
+    r2 = run_d2v_pretrain(cfg, pcfg, [d], out, log_every=1,
+                          checkpoint_every=0, valid_manifests=[d],
+                          valid_every=2)
+    assert abs(r1["loss"] - r2["loss"]) < 1e-6  # validation is side-effect-free
+
+    h = json.load(open(os.path.join(out, "d2v_training_history.json")))
+    vsteps = [e["step"] for e in h if "valid_loss" in e]
+    assert vsteps == [2, 4, 5]
+    vlosses = [e["valid_loss"] for e in h if "valid_loss" in e]
+    assert all(np.isfinite(v) for v in vlosses)
+    assert os.path.exists(os.path.join(out, "d2v_best_state.msgpack"))
+    assert os.path.exists(os.path.join(out, "encoder_params_best.msgpack"))
+
+
 def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
     """A variance collapse aborts training (reference config.py:77-83).
     Guards are evaluated for every update from step 1; detection is lag-1
