@@ -26,6 +26,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..audio.wavio import read_wav
+from ..train.d2v_pretrain import WavCropDataset  # no cycle: train/ never imports this module
 from ..utils import get_logger
 from .manifests import read_manifest
 
@@ -48,8 +49,9 @@ def pack_manifest(
     os.makedirs(out_dir, exist_ok=True)
     bin_path = os.path.join(out_dir, f"{split}.bin")
     lengths: List[int] = []
+    manifest_frames: List[int] = []
     with open(bin_path, "wb") as out:
-        for rel, _frames in files:
+        for rel, frames in files:
             path = os.path.join(root, rel)
             audio, sr = read_wav(path)
             if audio.ndim == 2:
@@ -62,9 +64,14 @@ def pack_manifest(
             clip = np.ascontiguousarray(audio, np.float32)
             out.write(clip.tobytes())
             lengths.append(len(clip))
+            manifest_frames.append(int(frames))
     np.savez(
         os.path.join(out_dir, f"{split}.idx.npz"),
         lengths=np.asarray(lengths, np.int64),
+        # the tsv frames column verbatim (possibly -1 or stale) — the
+        # min_sample_size filter must key off THIS, exactly like
+        # WavCropDataset, or packed epochs diverge from wav-manifest ones
+        manifest_frames=np.asarray(manifest_frames, np.int64),
         sample_rate=np.int64(sample_rate),
         version=np.int64(_FORMAT_VERSION),
     )
@@ -88,74 +95,73 @@ def is_packed_dir(d: str, split: str = "train") -> bool:
     return os.path.exists(os.path.join(d, f"{split}.idx.npz"))
 
 
-def _make_class():
-    # deferred: the base class lives in train/, which imports data/ — a
-    # module-level `from ..train... import WavCropDataset` would re-enter
-    # this package while train/__init__ is still executing
-    from ..train.d2v_pretrain import WavCropDataset
+class BinarizedWavDataset(WavCropDataset):
+    """``WavCropDataset`` over packed stores (see module docstring).
 
-    class _BinarizedWavDataset(WavCropDataset):
-        """``WavCropDataset`` over packed stores (see module docstring).
+    ``packed_dirs`` are directories produced by ``pack_manifest``; several
+    mix with the same fractional ``weights`` semantics as wav manifests.
+    Epoch composition is decided by the SAME predicate as the wav-manifest
+    dataset — the manifest tsv's frames column (including its frames<0
+    keep-all convention), recorded at pack time — so a packed run is
+    bit-identical to the run it was packed from even when the tsv frames
+    disagree with the real wav lengths."""
 
-        ``packed_dirs`` are directories produced by ``pack_manifest``;
-        several mix with the same fractional ``weights`` semantics as wav
-        manifests."""
-        def __init__(
-            self,
-            packed_dirs: Sequence[str],
-            pcfg,
-            split: str = "train",
-            weights: Optional[Sequence[float]] = None,
-        ):
-            self.pcfg = pcfg
-            self.base_lists = []
-            self._mmaps = []
-            self._offsets = []
-            for di, d in enumerate(packed_dirs):
-                idx_path = os.path.join(d, f"{split}.idx.npz")
-                if not os.path.exists(idx_path):
-                    raise FileNotFoundError(
-                        f"{idx_path} not found — run `cli d2v-pack` first "
-                        "(or pass a wav manifest dir without --binarized)"
-                    )
-                idx = np.load(idx_path)
-                sr = int(idx["sample_rate"])
-                if sr != pcfg.sample_rate:
-                    raise ValueError(
-                        f"{d}: packed at {sr} Hz != task {pcfg.sample_rate}"
-                    )
-                lengths = idx["lengths"].astype(np.int64)
-                offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
-                mm = np.memmap(
-                    os.path.join(d, f"{split}.bin"), np.float32, mode="r"
+    def __init__(
+        self,
+        packed_dirs: Sequence[str],
+        pcfg,
+        split: str = "train",
+        weights: Optional[Sequence[float]] = None,
+    ):
+        self.pcfg = pcfg
+        self.base_lists = []
+        self._mmaps = []
+        self._offsets = []
+        for di, d in enumerate(packed_dirs):
+            idx_path = os.path.join(d, f"{split}.idx.npz")
+            if not os.path.exists(idx_path):
+                raise FileNotFoundError(
+                    f"{idx_path} not found — run `cli d2v-pack` first "
+                    "(or pass a wav manifest dir without --binarized)"
                 )
-                if mm.shape[0] != int(lengths.sum()):
-                    raise ValueError(
-                        f"{d}/{split}.bin size {mm.shape[0]} != index total "
-                        f"{int(lengths.sum())} (re-pack the store)"
-                    )
-                self._mmaps.append(mm)
-                self._offsets.append(offsets)
-                kept = [
-                    ((di, ci), int(n))
-                    for ci, n in enumerate(lengths)
-                    if n >= pcfg.min_sample_size
-                ]
-                skipped = len(lengths) - len(kept)
-                if skipped:
-                    logger.info(
-                        "%s: skipped %d clips under min_sample_size=%d",
-                        d, skipped, pcfg.min_sample_size,
-                    )
-                self.base_lists.append(kept)
-            self._init_weights(weights)
+            idx = np.load(idx_path)
+            sr = int(idx["sample_rate"])
+            if sr != pcfg.sample_rate:
+                raise ValueError(
+                    f"{d}: packed at {sr} Hz != task {pcfg.sample_rate}"
+                )
+            lengths = idx["lengths"].astype(np.int64)
+            if "manifest_frames" in idx:
+                frames = idx["manifest_frames"].astype(np.int64)
+            else:  # stores packed before the frames column was recorded
+                frames = lengths
+            offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            mm = np.memmap(
+                os.path.join(d, f"{split}.bin"), np.float32, mode="r"
+            )
+            if mm.shape[0] != int(lengths.sum()):
+                raise ValueError(
+                    f"{d}/{split}.bin size {mm.shape[0]} != index total "
+                    f"{int(lengths.sum())} (re-pack the store)"
+                )
+            self._mmaps.append(mm)
+            self._offsets.append(offsets)
+            kept = [
+                ((di, ci), int(lengths[ci]))
+                # WavCropDataset's exact filter, on the manifest frames
+                for ci, f in enumerate(frames)
+                if f < 0 or f >= pcfg.min_sample_size
+            ]
+            skipped = len(lengths) - len(kept)
+            if skipped:
+                logger.info(
+                    "%s: skipped %d clips under min_sample_size=%d",
+                    d, skipped, pcfg.min_sample_size,
+                )
+            self.base_lists.append(kept)
+        self._init_weights(weights)
 
-        def _load_audio(self, entry) -> np.ndarray:
-            (di, ci), n = entry
-            off = int(self._offsets[di][ci])
-            return np.asarray(self._mmaps[di][off : off + n], np.float32)
-
-    return _BinarizedWavDataset
-
-
-BinarizedWavDataset = _make_class()
+    def _load_audio(self, entry) -> np.ndarray:
+        (di, ci), n = entry
+        off = int(self._offsets[di][ci])
+        return np.asarray(self._mmaps[di][off : off + n], np.float32)

@@ -182,20 +182,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.encoder_json:
-        # inline JSON object or a path to a JSON file (same contract as the
-        # unified CLI's _load_encoder_json)
-        import json
+        from ..cli import _load_encoder_json
 
-        if args.encoder_json.lstrip().startswith("{"):
-            overrides = json.loads(args.encoder_json)
-        else:
-            with open(args.encoder_json, encoding="utf-8") as f:
-                overrides = json.load(f)
-        if "conv_feature_layers" in overrides:
-            overrides["conv_feature_layers"] = tuple(
-                tuple(x) for x in overrides["conv_feature_layers"]
-            )
-        cfg = EncoderConfig(**overrides)
+        cfg = EncoderConfig(**_load_encoder_json(args.encoder_json))
     else:
         cfg = EncoderConfig()
     params = load_emotion2vec_checkpoint(args.checkpoint, cfg)

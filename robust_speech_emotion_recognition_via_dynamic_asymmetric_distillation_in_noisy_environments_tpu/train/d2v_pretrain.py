@@ -346,6 +346,12 @@ def run_d2v_pretrain(
             )
         else:
             valid_ds = WavCropDataset(valid_manifests, pcfg, split=valid_split)
+        if valid_ds.num_batches(pcfg.batch_size) == 0:
+            raise ValueError(
+                f"valid split has {len(valid_ds)} usable clips < "
+                f"batch_size={pcfg.batch_size}: no validation batches "
+                "(drop_last) — shrink batch_size or grow the split"
+            )
         eval_fn = _d2v_eval_models.make_d2v_eval_step(model)
 
     def run_validation(at_step: int):
@@ -444,10 +450,14 @@ def run_d2v_pretrain(
     # full device round-trip per dispatch (the synchronous version cost a
     # per-step sync on thin-link attaches — PERFORMANCE.md driver table).
     # Deliberate deviation: a collapse in chunk C is detected after chunk
-    # C+1 was dispatched — up to 2*chunk-1 extra (discarded) updates,
-    # identical detection coverage.
+    # C+1 was dispatched. The in-flight post-collapse updates are dropped
+    # from the history/returned metrics, but the final saved state does
+    # include them (kept for post-mortem — it is a collapsed run either
+    # way); detection coverage is identical.
+    aborted = False
     pending = None  # (first step index, k, stacked metrics of that chunk)
     while not done:
+        epoch_had_batches = False
         src = ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch)
         if chunk > 1:
             src = chunked(src, pcfg.max_steps - step)
@@ -457,6 +467,7 @@ def run_d2v_pretrain(
             depth=2, to_device=mesh is None,
             transfer_fp32_as=transfer_dtype if mesh is None else None,
         ):
+            epoch_had_batches = True
             if chunk > 1:
                 k = int(wavs.shape[0])
                 rng, keys = split_chunk_keys(rng, k)
@@ -469,7 +480,7 @@ def run_d2v_pretrain(
             step += k  # host-side counter: no device sync needed to count
             batch_in_epoch += k
             if pending is not None and process_chunk(*pending):
-                done = True
+                done = aborted = True
             pending = (first, k, mstack)
             at_end = step >= pcfg.max_steps
             crossed = bool(checkpoint_every) and (
@@ -482,9 +493,11 @@ def run_d2v_pretrain(
             )
             if at_end or done or crossed or vcrossed:
                 # drain before checkpointing/validating/stopping so history
-                # and the returned metrics are complete and ordered
-                if process_chunk(*pending):
-                    done = True
+                # and the returned metrics are complete and ordered; after
+                # an abort the in-flight chunk's post-collapse steps are
+                # DISCARDED, not logged
+                if not aborted and process_chunk(*pending):
+                    done = aborted = True
                 pending = None
             if vcrossed and not (at_end or done):
                 run_validation(step)  # the final pass runs after the loop
@@ -494,10 +507,19 @@ def run_d2v_pretrain(
                 done = True
                 break
         else:
+            if not epoch_had_batches:
+                raise ValueError(
+                    f"epoch {epoch} produced no batches "
+                    f"({len(ds.files_for_epoch(epoch))} usable clips < "
+                    f"batch_size={pcfg.batch_size}, drop_last) — shrink "
+                    "batch_size or relax min_sample_size"
+                )
             epoch += 1
             batch_in_epoch = 0
 
-    if valid_ds is not None:
+    if valid_ds is not None and not aborted:
+        # skipped after a collapse abort: a degenerate state must never be
+        # crowned "best" just because no earlier validation ran
         run_validation(int(state.step))
     save_ckpt(int(state.step))
     enc_path = os.path.join(save_dir, "encoder_params.msgpack")

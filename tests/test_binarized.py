@@ -59,6 +59,31 @@ def test_packed_weights_and_skip_match(tmp_path):
         np.testing.assert_array_equal(p1, p2)
 
 
+def test_packed_filter_uses_manifest_frames(tmp_path):
+    """Epoch composition keys off the manifest tsv's frames column exactly
+    like WavCropDataset — including frames<0 keep-all and stale frames —
+    so packed runs can't silently diverge from the wav runs they mirror."""
+    d = _write_wav_corpus(tmp_path)
+    # rewrite the tsv with frames=-1 everywhere (no-frames manifests)
+    lines = open(os.path.join(d, "train.tsv")).read().splitlines()
+    with open(os.path.join(d, "train.tsv"), "w") as f:
+        print(lines[0], file=f)
+        for row in lines[1:]:
+            print(f"{row.split(chr(9))[0]}\t-1", file=f)
+    out = os.path.join(str(tmp_path), "packed")
+    pack_manifest(d, out)
+
+    # min_sample_size would drop every clip if keyed on real lengths;
+    # frames=-1 keeps them all in BOTH datasets
+    pcfg = tiny_pcfg(crop_size=5000, min_sample_size=100_000, batch_size=2)
+    ds_wav = WavCropDataset([d], pcfg)
+    ds_bin = BinarizedWavDataset([out], pcfg)
+    assert len(ds_wav) == len(ds_bin) == 6
+    for (w1, p1), (w2, p2) in zip(ds_wav.batches(0, 2), ds_bin.batches(0, 2)):
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(p1, p2)
+
+
 def test_packed_guards(tmp_path):
     d = _write_wav_corpus(tmp_path)
     out = os.path.join(str(tmp_path), "packed")

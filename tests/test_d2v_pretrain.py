@@ -701,10 +701,51 @@ def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
         return step
 
     monkeypatch.setattr(d2v_models, "make_d2v_train_step", collapsing_make)
+    import shutil
+
+    shutil.copy2(os.path.join(d, "train.tsv"), os.path.join(d, "valid.tsv"))
     save = os.path.join(str(tmp_path), "out")
     last = run_d2v_pretrain(cfg, pcfg, [d], save, log_every=1,
-                            checkpoint_every=0)
-    assert last["step"] <= 3  # aborted, not run to max_steps=6
+                            checkpoint_every=0, valid_manifests=[d],
+                            valid_every=100)
+    assert last["step"] <= 2  # aborted; post-collapse steps not logged
+    # a collapsed run must never crown a "best" checkpoint
+    assert not os.path.exists(os.path.join(save, "d2v_best_state.msgpack"))
+    assert not os.path.exists(
+        os.path.join(save, "encoder_params_best.msgpack")
+    )
+
+
+def test_empty_epoch_raises(tmp_path):
+    """1..batch_size-1 usable clips must raise, not busy-loop forever."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=4,
+                     max_steps=3, warmup_steps=1, clone_batch=2)
+    with pytest.raises(ValueError, match="produced no batches"):
+        run_d2v_pretrain(cfg, pcfg, [d], os.path.join(str(tmp_path), "o"))
+
+
+def test_tiny_valid_split_raises(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    with open(os.path.join(d, "valid.tsv"), "w") as f:
+        print(open(os.path.join(d, "train.tsv")).read().splitlines()[0],
+              file=f)
+        print("clip0.wav\t2000", file=f)
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=2, warmup_steps=1, clone_batch=2)
+    with pytest.raises(ValueError, match="no validation batches"):
+        run_d2v_pretrain(cfg, pcfg, [d], os.path.join(str(tmp_path), "o"),
+                         valid_manifests=[d], valid_every=1)
 
 
 def test_wav_crop_dataset_fractional_weights(tmp_path):
