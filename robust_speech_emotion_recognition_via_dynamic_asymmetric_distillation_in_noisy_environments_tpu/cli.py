@@ -101,8 +101,17 @@ def _cmd_d2v_pretrain(args):
     from .train.d2v_pretrain import run_d2v_pretrain
 
     enc_kw = {}
+    if args.fast:
+        # the measured-best v5e configuration (PERFORMANCE.md round-3
+        # roofline: +51% over defaults); explicit json/flags still win
+        enc_kw.update(
+            dtype="bfloat16", fast_ln=True, fast_softmax=True,
+            gelu_approximate=True,
+        )
+        if args.prng == "threefry":
+            args.prng = "rbg"
     if args.encoder_json:
-        enc_kw = _load_encoder_json(args.encoder_json)
+        enc_kw.update(_load_encoder_json(args.encoder_json))
     cfg = EncoderConfig(**enc_kw)
     pcfg = D2vPretrainConfig(
         batch_size=args.batch_size,
@@ -547,6 +556,11 @@ def main(argv=None) -> int:
                         "(the fairseq validate/checkpoint_best analogue)")
     p.add_argument("--valid-split", default="valid")
     p.add_argument("--valid-every", type=int, default=1000)
+    p.add_argument("--fast", action="store_true",
+                   help="measured-best v5e configuration in one flag: "
+                        "bf16 encoder + fast_ln/fast_softmax/tanh-GELU + "
+                        "rbg PRNG (+51% over defaults, PERFORMANCE.md); "
+                        "--encoder-json/--prng still override")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(

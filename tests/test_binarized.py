@@ -121,7 +121,9 @@ def test_cli_pack_and_binarized_pretrain(tmp_path):
         "--save-dir", save, "--batch-size", "2", "--steps", "2",
         "--warmup-steps", "1", "--crop-size", "2400",
         "--min-sample-size", "0", "--clone-batch", "2",
-        "--mask-length", "3",
+        "--mask-length", "3", "--fast",
+        # --fast picks the v5e defaults; explicit json (incl. dtype
+        # float32 for CPU determinism here) must still override them
         "--encoder-json", os.path.join(str(tmp_path), "enc.json"),
     ])
     assert rc == 0
