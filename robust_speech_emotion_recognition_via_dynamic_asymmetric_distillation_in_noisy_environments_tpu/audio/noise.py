@@ -176,21 +176,36 @@ def batch_mix_noise_bank(
     return jnp.where(peak > 1.0, noisy / peak, noisy)
 
 
+def load_noise_clips(
+    noise_root: str, files: Optional[Sequence[str]] = None
+) -> list:
+    """Raw NOISEX-92 clips in bank order (NOISE_FILE_MAPPING), mono-mixed —
+    the single loader behind both the device-resident bank and the offline
+    numpy injector's fixed val/test noise."""
+    import os
+
+    from .wavio import read_wav
+
+    clips = []
+    for fname in files or list(NOISE_FILE_MAPPING.keys()):
+        path = os.path.join(noise_root, fname)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"missing noise file: {path}")
+        c, _sr = read_wav(path)
+        if c.ndim == 2:
+            c = c.mean(axis=1)
+        clips.append(c.astype(np.float32))
+    return clips
+
+
 def load_noise_bank(
     noise_root: str, target_length: int, files: Optional[Sequence[str]] = None
 ) -> np.ndarray:
     """Loads the 5 NOISEX-92 files into a (5, target_length) array, tiling
     short clips (add_real_noise_to_audio.py:20-122)."""
-    import os
-
-    from .wavio import read_wav
-
-    bank = []
-    names = files or list(NOISE_FILE_MAPPING.keys())
-    for fname in names:
-        path = os.path.join(noise_root, fname)
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"missing noise file: {path}")
-        noise, _sr = read_wav(path)
-        bank.append(tile_noise_np(noise, target_length))
-    return np.stack(bank).astype(np.float32)
+    return np.stack(
+        [
+            tile_noise_np(c, target_length)
+            for c in load_noise_clips(noise_root, files)
+        ]
+    ).astype(np.float32)

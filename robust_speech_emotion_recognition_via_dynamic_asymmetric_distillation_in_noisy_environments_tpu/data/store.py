@@ -121,31 +121,13 @@ def _parse_emo_line(line: str) -> tuple:
     return parts[0], parts[1]
 
 
-def load_feature_store(
-    feature_dir: str,
-    label_map: Optional[Dict[str, int]] = None,
-    split: str = "train",
-    min_length: int = 1,
-    max_length: Optional[int] = None,
-) -> FeatureStore:
-    """Loads a reference-format feature directory.
-
-    Mirrors load_dataset/load_ssl_features (reference data.py:63-197) plus
-    the CASIA/EMODB ``.lbl``/``.spk`` variants. Clips shorter than
-    ``min_length`` (or longer than ``max_length``) are skipped, with offsets
-    advanced past them just like the reference.
-    """
-    prefix = os.path.join(feature_dir, split)
-    feats = np.load(prefix + ".npy")
-    with open(prefix + ".lengths") as f:
-        raw_lengths = [int(line.strip()) for line in f if line.strip()]
-    if sum(raw_lengths) != feats.shape[0]:
-        # reference validate_emotion2vec_data contract (DAD utils.py:114-122)
-        raise ValueError(
-            f"corrupt feature store {feature_dir}: sum(lengths)="
-            f"{sum(raw_lengths)} != rows={feats.shape[0]}"
-        )
-
+def read_label_sidecars(manifest_dir: str, split: str = "train"):
+    """Parses the reference label/speaker sidecars next to a manifest or
+    feature store: ``.emo`` (IEMOCAP; session group from 'Ses0X' char 4,
+    reference data.py:31) or ``.lbl``/``.spk`` (CASIA/EMODB). Returns
+    (raw_labels, utt_names, raw_groups) — the SINGLE parser shared by the
+    feature store and the fused trainer's wav store."""
+    prefix = os.path.join(manifest_dir, split)
     emo_path = prefix + ".emo"
     lbl_path = prefix + ".lbl"
     spk_path = prefix + ".spk"
@@ -175,6 +157,37 @@ def load_feature_store(
         if os.path.exists(spk_path):
             with open(spk_path, encoding="utf-8") as f:
                 raw_groups = [line.strip() for line in f if line.strip()]
+    return raw_labels, utt_names, raw_groups
+
+
+def load_feature_store(
+    feature_dir: str,
+    label_map: Optional[Dict[str, int]] = None,
+    split: str = "train",
+    min_length: int = 1,
+    max_length: Optional[int] = None,
+) -> FeatureStore:
+    """Loads a reference-format feature directory.
+
+    Mirrors load_dataset/load_ssl_features (reference data.py:63-197) plus
+    the CASIA/EMODB ``.lbl``/``.spk`` variants. Clips shorter than
+    ``min_length`` (or longer than ``max_length``) are skipped, with offsets
+    advanced past them just like the reference.
+    """
+    prefix = os.path.join(feature_dir, split)
+    feats = np.load(prefix + ".npy")
+    with open(prefix + ".lengths") as f:
+        raw_lengths = [int(line.strip()) for line in f if line.strip()]
+    if sum(raw_lengths) != feats.shape[0]:
+        # reference validate_emotion2vec_data contract (DAD utils.py:114-122)
+        raise ValueError(
+            f"corrupt feature store {feature_dir}: sum(lengths)="
+            f"{sum(raw_lengths)} != rows={feats.shape[0]}"
+        )
+
+    raw_labels, utt_names, raw_groups = read_label_sidecars(
+        feature_dir, split
+    )
 
     sizes, offsets = [], []
     keep: List[int] = []

@@ -21,7 +21,7 @@ import numpy as np
 
 from .batching import pad_to_bucket
 from .manifests import read_manifest
-from .store import _parse_emo_line
+from .store import read_label_sidecars
 from ..utils import get_logger
 
 logger = get_logger(__name__)
@@ -77,36 +77,6 @@ class WavStore:
         )
 
 
-def _read_sidecars(manifest_dir: str, split: str):
-    """Same .emo / .lbl+.spk parsing as load_feature_store
-    (reference data.py:63-197 label conventions)."""
-    import os
-
-    prefix = os.path.join(manifest_dir, split)
-    raw_labels = utt_names = raw_groups = None
-    if os.path.exists(prefix + ".emo"):
-        raw_labels, utt_names = [], []
-        with open(prefix + ".emo", encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                name, lbl = _parse_emo_line(line)
-                utt_names.append(name)
-                raw_labels.append(lbl)
-        raw_groups = [
-            int(name[4]) if name and len(name) > 4 and name[4].isdigit() else -1
-            for name in utt_names
-        ]
-    elif os.path.exists(prefix + ".lbl"):
-        with open(prefix + ".lbl", encoding="utf-8") as f:
-            raw_labels = [line.strip() for line in f if line.strip()]
-        if os.path.exists(prefix + ".spk"):
-            with open(prefix + ".spk", encoding="utf-8") as f:
-                raw_groups = [line.strip() for line in f if line.strip()]
-    return raw_labels, utt_names, raw_groups
-
-
 def load_wav_store(
     manifest_dir: str,
     label_map: Optional[Dict[str, int]] = None,
@@ -123,7 +93,9 @@ def load_wav_store(
     from ..audio.wavio import read_wav
     from .binarized import is_packed_dir
 
-    raw_labels, utt_names, raw_groups = _read_sidecars(manifest_dir, split)
+    raw_labels, utt_names, raw_groups = read_label_sidecars(
+        manifest_dir, split
+    )
 
     if is_packed_dir(manifest_dir, split):
         idx = np.load(os.path.join(manifest_dir, f"{split}.idx.npz"))

@@ -58,6 +58,27 @@ logger = get_logger(__name__)
 def extract_noise_info(noisy_path: str) -> Dict:
     """Parses root1/root2 noise trees from the noisy dir path
     (reference train.py:113-192)."""
+    # fused multi-SNR runs (train/fused_trainer.py:injection_display_name)
+    # carry their whole SNR set in the db token
+    m = re.search(r"root1-([^-]+)-(multi(?:_\d+)+)db", noisy_path,
+                  re.IGNORECASE)
+    if m:
+        noise_type, db = m.group(1), m.group(2)
+        return {
+            "root_type": "root1",
+            "noise_type": noise_type,
+            "db_value": f"{db}db",
+            "display_name": f"root1-{noise_type}-{db}db",
+        }
+    m = re.search(r"root2-(multi(?:_\d+)+)db", noisy_path, re.IGNORECASE)
+    if m:
+        db = m.group(1)
+        return {
+            "root_type": "root2",
+            "noise_type": None,
+            "db_value": f"{db}db",
+            "display_name": f"root2-{db}db",
+        }
     m = re.search(r"root1-([^.]+)\.wav-(\d+)db", noisy_path, re.IGNORECASE)
     if not m:
         m = re.search(r"root1-([^-]+)-(\d+)db", noisy_path, re.IGNORECASE)

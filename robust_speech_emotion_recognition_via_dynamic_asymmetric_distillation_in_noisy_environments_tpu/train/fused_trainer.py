@@ -33,7 +33,7 @@ import numpy as np
 
 from ..audio import noise as noise_ops
 from ..configs import DADConfig, EncoderConfig
-from ..data.batching import Batch
+from ..data.batching import paired_epoch
 from ..data.folds import corpus_fold_split
 from ..data.prefetch import prefetch
 from ..data.store import FeatureStore
@@ -66,29 +66,36 @@ def injection_display_name(fused_cfg: FusedConfig) -> str:
     from ..audio.noise import NOISE_TYPES
 
     if fused_cfg.inject_snr_choices:
-        snrs = "_".join(str(int(s)) for s in fused_cfg.inject_snr_choices)
-        return f"fused-multi-{snrs}db"
-    snr = int(fused_cfg.inject_snr_db)
+        # multi-SNR uses its own db token, parsed by extract_noise_info's
+        # multi branch, and KEEPS the bank mode (root1/root2) — so two
+        # different multi configs never collapse into one 'unknown' dir
+        db = "multi_" + "_".join(
+            str(int(s)) for s in fused_cfg.inject_snr_choices
+        ) + "db"
+    else:
+        db = f"{int(fused_cfg.inject_snr_db)}db"
     if fused_cfg.inject_noise_bank_mode == "random":
-        return f"fused/root2-{snr}db"
+        return f"fused/root2-{db}"
     if fused_cfg.inject_noise_bank_mode == "fixed":
         t = NOISE_TYPES[fused_cfg.inject_noise_type]
-        return f"fused/root1-{t}-{snr}db"
-    return f"fused/root1-white-{snr}db"
+        return f"fused/root1-{t}-{db}"
+    return f"fused/root1-white-{db}"
 
 
 def store_from_clips(
-    feats: Sequence[np.ndarray], wavs: WavStore
+    feats: Sequence[np.ndarray], wavs: WavStore, dim: int
 ) -> FeatureStore:
     """Packs per-clip feature arrays into an in-memory FeatureStore carrying
     the wav store's labels/groups/names (reference on-disk layout semantics
-    without the disk round-trip)."""
+    without the disk round-trip). ``dim`` pins the feature width when the
+    total frame count is zero (so an all-too-short corpus can't silently
+    shrink the head's input_dim via the dim-adjust path)."""
     sizes = np.asarray([len(f) for f in feats], np.int64)
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
     flat = (
         np.concatenate([f for f in feats if len(f)], axis=0)
-        if len(feats)
-        else np.zeros((0, 1), np.float32)
+        if int(sizes.sum())
+        else np.zeros((0, dim), np.float32)
     )
     return FeatureStore(
         feats=flat.astype(np.float32),
@@ -133,20 +140,74 @@ def inject_fixed(
     return out
 
 
-def load_noise_clips(noise_root: str) -> List[np.ndarray]:
-    """Raw NOISEX-92 clips in bank order (NOISE_FILE_MAPPING)."""
-    from ..audio.wavio import read_wav
+def prepare_fused_shared(
+    cfg: DADConfig,
+    manifest_dir: str,
+    encoder_cfg: EncoderConfig,
+    enc_params,
+    fused_cfg: FusedConfig,
+    noise_root: Optional[str],
+    val_injection_seed: int = 42,
+    extract_batch_size: int = 16,
+    mesh=None,
+) -> Dict:
+    """The fold-INDEPENDENT startup artifacts of fused training: wav store,
+    placed extractor, one clean extraction pass, the fixed noisy val/test
+    domain (injection + extraction), and the raw noise clips. run_fused_cv
+    computes this once and shares it across all folds (the per-fold cost on
+    a tunnel-attached chip is dominated by these two extraction passes)."""
+    wav_store = load_wav_store(manifest_dir, cfg.label_map)
+    if wav_store.labels is None:
+        raise ValueError(f"{manifest_dir} has no label sidecar")
 
-    clips = []
-    for fname in noise_ops.NOISE_FILE_MAPPING:
-        path = os.path.join(noise_root, fname)
-        if not os.path.exists(path):
-            raise FileNotFoundError(f"missing noise file: {path}")
-        c, _sr = read_wav(path)
-        if c.ndim == 2:
-            c = c.mean(axis=1)
-        clips.append(c.astype(np.float32))
-    return clips
+    # one extraction pass each for the clean corpus and the FIXED noisy
+    # domain (validation/test target) — the startup-cost analogue of the
+    # reference's offline extraction stage, amortized over all epochs
+    extractor = FeatureExtractor(
+        encoder_cfg, enc_params, batch_size=extract_batch_size, mesh=mesh
+    )
+    logger.info("fused trainer: extracting clean features once")
+    clean_feats = extractor.extract_clips(wav_store.clips())
+
+    noise_clips = (
+        noise_ops.load_noise_clips(noise_root)
+        if fused_cfg.inject_noise_bank_mode is not None
+        else None
+    )
+    logger.info("fused trainer: building fixed noisy val/test domain")
+    noisy_wavs = inject_fixed(wav_store, fused_cfg, noise_clips,
+                              val_injection_seed)
+    noisy_feats = extractor.extract_clips(noisy_wavs)
+
+    dim = encoder_cfg.embed_dim
+    return {
+        "wav_store": wav_store,
+        "extractor": extractor,
+        "clean_store": store_from_clips(clean_feats, wav_store, dim),
+        "noisy_store": store_from_clips(noisy_feats, wav_store, dim),
+        "noise_clips": noise_clips,
+    }
+
+
+def _normalize_fused_cfg(
+    cfg: DADConfig,
+    encoder_cfg: EncoderConfig,
+    fused_cfg: Optional[FusedConfig],
+    noise_root: Optional[str],
+) -> FusedConfig:
+    fused_cfg = fused_cfg or FusedConfig(
+        encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0
+    )
+    fused_cfg = replace(
+        fused_cfg, encoder=encoder_cfg, cache_clean_features=True
+    )
+    validate_injection(fused_cfg)
+    if fused_cfg.inject_snr_db is None and not fused_cfg.inject_snr_choices:
+        raise ValueError("fused training needs an injection SNR "
+                         "(inject_snr_db or inject_snr_choices)")
+    if fused_cfg.inject_noise_bank_mode is not None and not noise_root:
+        raise ValueError("bank injection modes need --noise-root")
+    return fused_cfg
 
 
 class FusedCrossDomainTrainer(CrossDomainTrainer):
@@ -170,54 +231,40 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         extract_batch_size: int = 16,
         wav_buckets: Sequence[int] = WAV_BUCKETS,
         transfer_dtype: Optional[str] = None,
+        shared: Optional[Dict] = None,
     ):
         """``transfer_dtype`` (e.g. "bfloat16"): ship the f32 wav + cached
         clean-feature batches to the device in this dtype and upcast on
         device — halves H2D bytes per step, which dominates fused training
         when the chip hangs off a thin link (PERFORMANCE.md). Audio in
         [-1, 1] loses ~0.2% relative precision in bf16, far below the
-        injected noise floor."""
-        fused_cfg = fused_cfg or FusedConfig(
-            encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0
-        )
-        fused_cfg = replace(
-            fused_cfg, encoder=encoder_cfg, cache_clean_features=True
-        )
-        validate_injection(fused_cfg)
-        if fused_cfg.inject_snr_db is None and not fused_cfg.inject_snr_choices:
-            raise ValueError("fused training needs an injection SNR "
-                             "(inject_snr_db or inject_snr_choices)")
-        if fused_cfg.inject_noise_bank_mode is not None and not noise_root:
-            raise ValueError("bank injection modes need --noise-root")
+        injected noise floor. Single-device only — with a mesh the fused
+        step's in_shardings place the batches (a warning is logged if both
+        are requested).
+
+        ``shared``: a ``prepare_fused_shared`` dict to reuse the
+        fold-independent startup artifacts across folds (run_fused_cv)."""
+        fused_cfg = _normalize_fused_cfg(cfg, encoder_cfg, fused_cfg,
+                                         noise_root)
+        if mesh is not None and transfer_dtype:
+            logger.warning(
+                "transfer_dtype=%s ignored: the fused step's mesh "
+                "in_shardings place the batches", transfer_dtype,
+            )
+            transfer_dtype = None
 
         self.wav_buckets = tuple(wav_buckets)
         self.fused_transfer_dtype = transfer_dtype
-        self.wav_store = load_wav_store(manifest_dir, cfg.label_map)
-        if self.wav_store.labels is None:
-            raise ValueError(f"{manifest_dir} has no label sidecar")
-
-        # one extraction pass each for the clean corpus and the FIXED noisy
-        # domain (validation/test target) — the startup-cost analogue of the
-        # reference's offline extraction stage, amortized over all epochs
-        self.extractor = FeatureExtractor(
-            encoder_cfg, enc_params, batch_size=extract_batch_size, mesh=mesh
-        )
-        logger.info("fused trainer: extracting clean features once")
-        clean_feats = self.extractor.extract_clips(self.wav_store.clips())
-
-        noise_clips = (
-            load_noise_clips(noise_root)
-            if fused_cfg.inject_noise_bank_mode is not None
-            else None
-        )
-        logger.info("fused trainer: building fixed noisy val/test domain")
-        noisy_wavs = inject_fixed(
-            self.wav_store, fused_cfg, noise_clips, val_injection_seed
-        )
-        noisy_feats = self.extractor.extract_clips(noisy_wavs)
-
-        clean_store = store_from_clips(clean_feats, self.wav_store)
-        noisy_store = store_from_clips(noisy_feats, self.wav_store)
+        if shared is None:
+            shared = prepare_fused_shared(
+                cfg, manifest_dir, encoder_cfg, enc_params, fused_cfg,
+                noise_root, val_injection_seed=val_injection_seed,
+                extract_batch_size=extract_batch_size, mesh=mesh,
+            )
+        self.wav_store = shared["wav_store"]
+        self.extractor = shared["extractor"]
+        clean_store = shared["clean_store"]
+        noisy_store = shared["noisy_store"]
 
         cfg = replace(
             cfg,
@@ -256,10 +303,23 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
 
         self._noise_bank = None
         if fused_cfg.inject_noise_bank_mode is not None:
-            bank = noise_ops.load_noise_bank(
-                noise_root, target_length=max(self.wav_buckets)
-            )
-            self._noise_bank = jax.device_put(jnp.asarray(bank))
+            bank = np.stack(
+                [
+                    noise_ops.tile_noise_np(c, max(self.wav_buckets))
+                    for c in shared["noise_clips"]
+                ]
+            ).astype(np.float32)
+            if mesh is not None:
+                # replicate up front: the fused step's in_shardings declare
+                # the bank replicated, and a default-device placement would
+                # make jit reshard ~9 MB on every call
+                from ..parallel.mesh import replicated
+
+                self._noise_bank = jax.device_put(
+                    jnp.asarray(bank), replicated(mesh)
+                )
+            else:
+                self._noise_bank = jax.device_put(jnp.asarray(bank))
 
         # extractor placed the encoder params already (tp-sharded when the
         # mesh has a tp axis); the base class replicated the head state
@@ -271,14 +331,12 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
     # ------------------------------------------------------------------
     def _paired_fused_epoch(self, epoch: int):
         """Pairs clean FEATURE batches (cached extraction) with noisy WAV
-        batches, truncating to the shorter stream (train.py:479-483)."""
-        self.clean_train.set_epoch(epoch)
-        self.noisy_wav_train.set_epoch(epoch)
-        n = min(len(self.clean_train), len(self.noisy_wav_train))
-        ci, ni = iter(self.clean_train), iter(self.noisy_wav_train)
-        for _ in range(n):
-            cb: Batch = next(ci)
-            wb = next(ni)
+        batches via the same paired_epoch the feature-level trainer uses
+        (truncate-to-shorter, train.py:479-483; PaddedWavIterator shares
+        PaddedBatchIterator's set_epoch/len/iter contract)."""
+        for cb, wb in paired_epoch(
+            self.clean_train, self.noisy_wav_train, epoch
+        ):
             yield (
                 CleanFeatureBatch(
                     feats=cb.feats,
@@ -350,6 +408,14 @@ def run_fused_cv(
 
     n_folds = {"iemocap": 5, "casia": 4, "emodb": 10}[cfg.corpus]
     folds = list(folds) if folds is not None else list(range(n_folds))
+    # fold-independent startup (wav decode, 2 extraction passes, fixed
+    # injection, noise clips) happens ONCE — on a tunnel-attached chip the
+    # extraction passes dominate per-fold startup
+    fused_cfg = _normalize_fused_cfg(cfg, encoder_cfg, fused_cfg, noise_root)
+    shared = prepare_fused_shared(
+        cfg, manifest_dir, encoder_cfg, enc_params, fused_cfg, noise_root,
+        mesh=mesh,
+    )
     all_results = []
     for fold in folds:
         try:
@@ -366,6 +432,7 @@ def run_fused_cv(
                 prefetch_depth=prefetch_depth,
                 mesh=mesh,
                 transfer_dtype=transfer_dtype,
+                shared=shared,
             )
             trainer.train()
             all_results.append(trainer.final_summary())
@@ -373,12 +440,9 @@ def run_fused_cv(
             logger.error("fold %d failed: %s", fold + 1, e, exc_info=True)
             all_results.append({"fold": fold + 1, "error": str(e)})
     ok = [r for r in all_results if "error" not in r]
-    display = extract_noise_info(
-        injection_display_name(
-            fused_cfg
-            or FusedConfig(encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0)
-        )
-    )["display_name"]
+    display = extract_noise_info(injection_display_name(fused_cfg))[
+        "display_name"
+    ]
     summary = {
         "noise": display,
         "folds": all_results,

@@ -135,6 +135,28 @@ def test_injection_display_names():
         FusedConfig(encoder=enc, dad=cfg, inject_snr_db=5.0,
                     inject_noise_bank_mode="random")
     ).endswith("root2-5db")
+    # multi-SNR keeps its whole SNR set AND the bank mode, and round-trips
+    # through extract_noise_info (so two multi configs never collapse into
+    # one 'unknown' results dir)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.dad_trainer import (
+        extract_noise_info,
+    )
+
+    multi_white = injection_display_name(
+        FusedConfig(encoder=enc, dad=cfg, inject_snr_db=None,
+                    inject_snr_choices=(20.0, 10.0))
+    )
+    assert multi_white.endswith("root1-white-multi_20_10db")
+    info = extract_noise_info(multi_white)
+    assert (info["root_type"], info["noise_type"]) == ("root1", "white")
+    assert info["db_value"] == "multi_20_10db"
+    multi_bank = injection_display_name(
+        FusedConfig(encoder=enc, dad=cfg, inject_snr_db=None,
+                    inject_snr_choices=(20.0, 10.0),
+                    inject_noise_bank_mode="random")
+    )
+    assert multi_bank.endswith("root2-multi_20_10db")
+    assert extract_noise_info(multi_bank)["root_type"] == "root2"
 
 
 def _report_paths(results_dir):
@@ -203,6 +225,37 @@ def test_fused_trainer_end_to_end(corpus, tmp_path):
     # the tone corpus is separable: the best noisy WA must be far above
     # chance (25%)
     assert out["best_noisy_weighted_acc"] >= 40.0
+
+
+def test_run_fused_cv_shares_startup(corpus, tmp_path, monkeypatch):
+    """run_fused_cv hoists the fold-independent startup (wav decode, the
+    two extraction passes, fixed injection) out of the fold loop: the
+    summary covers both folds while prepare_fused_shared ran exactly
+    once."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        fused_trainer as ft,
+    )
+
+    calls = {"n": 0}
+    real = ft.prepare_fused_shared
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ft, "prepare_fused_shared", counting)
+    cfg = _dad_cfg(tmp_path, epochs=2)
+    summary = ft.run_fused_cv(
+        cfg, corpus, TINY_ENC, tiny_enc_params(), folds=[0, 1],
+        prefetch_depth=0,
+    )
+    assert calls["n"] == 1
+    assert len(summary["folds"]) == 2
+    assert all("error" not in r for r in summary["folds"]), summary["folds"]
+    assert summary["noise"] == "root1-white-10db"
+    assert os.path.exists(
+        os.path.join(cfg.results_base_dir, "final_summary_report.json")
+    )
 
 
 def test_fused_trainer_dp_mesh_matches_single(corpus, tmp_path):
