@@ -259,7 +259,10 @@ class PretrainConfig:
 
     @property
     def class_names(self) -> Tuple[str, ...]:
-        return tuple(k for k, _ in self.label_dict)
+        # id-sorted: name[i] must be the class with label id i everywhere
+        # (metric rows, serving probs) even if label_dict is declared out
+        # of id order
+        return tuple(k for k, _ in sorted(self.label_dict, key=lambda kv: kv[1]))
 
 
 @dataclass(frozen=True)
@@ -318,7 +321,10 @@ class DADConfig:
 
     @property
     def class_names(self) -> Tuple[str, ...]:
-        return tuple(k for k, _ in self.label_dict)
+        # id-sorted: name[i] must be the class with label id i everywhere
+        # (metric rows, serving probs) even if label_dict is declared out
+        # of id order
+        return tuple(k for k, _ in sorted(self.label_dict, key=lambda kv: kv[1]))
 
 
 def apply_overrides(cfg: Any, overrides: Mapping[str, Any]) -> Any:

@@ -81,9 +81,26 @@ class CrossDomainInference:
         if split_policy == "all":
             subset = store
         else:
-            corpus = "iemocap" if self.ds_type == "iemocap" else (
-                "casia" if len(np.unique(store.groups)) == 4 else "emodb"
-            )
+            if self.ds_type == "iemocap":
+                corpus = "iemocap"
+            else:
+                # .lbl/.spk stores: prefer the speaker-name prefix
+                # (casia_spk_* / emodb_spk_* from the manifest builders);
+                # the 4-speaker census is only a last-resort heuristic
+                g0 = str(store.groups[0]) if len(store.groups) else ""
+                if g0.startswith("casia"):
+                    corpus = "casia"
+                elif g0.startswith("emodb"):
+                    corpus = "emodb"
+                else:
+                    n_spk = len(np.unique(store.groups))
+                    corpus = "casia" if n_spk == 4 else "emodb"
+                    logger.warning(
+                        "speaker names don't identify the corpus; guessed "
+                        "%r from %d unique speakers — fold policy may be "
+                        "wrong (use --split all for cross-corpus eval)",
+                        corpus, n_spk,
+                    )
             _tr, _va, te = corpus_fold_split(corpus, self.fold, store.groups)
             subset = store.subset(te)
         return PaddedBatchIterator(
@@ -94,7 +111,11 @@ class CrossDomainInference:
         """split_policy: 'test' = the fold's test split; 'all' = every clip
         (the cross-corpus evaluation mode)."""
         it = self._loader(split_policy)
-        params = self.ssrl.teacher if self.use_teacher else self.ssrl.student
+        # commit once: a host tree re-uploads itself on every batch
+        # (CLAUDE.md device rule)
+        params = jax.device_put(
+            self.ssrl.teacher if self.use_teacher else self.ssrl.student
+        )
         y_true, y_pred, confidences = [], [], []
         for b in it:
             preds, logits = self.eval_step(

@@ -67,7 +67,10 @@ class EmotionPredictor:
         if wav_transfer_dtype not in ("float32", "int16"):
             raise ValueError(f"bad wav_transfer_dtype {wav_transfer_dtype!r}")
         self.cfg = cfg
-        self.ssrl = ssrl
+        # commit the head params once: a host tree re-uploads itself on
+        # every eval call (CLAUDE.md device rule; the extractor already
+        # does this for the encoder)
+        self.ssrl = jax.device_put(ssrl)
         self.extractor = extractor
         self.batch_size = batch_size
         self.frame_buckets = tuple(frame_buckets)
@@ -99,9 +102,7 @@ class EmotionPredictor:
                 return logits
 
             self._wav_eval = jax.jit(wav_fwd)
-        self.class_names = [
-            name for name, _ in sorted(cfg.label_dict, key=lambda kv: kv[1])
-        ]
+        self.class_names = list(cfg.class_names)  # id-sorted property
         self.requests_served = 0
         self.batches_run = 0
 
@@ -236,10 +237,20 @@ class PredictionServer:
         port: int = 8476,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
+        max_body_bytes: int = 64 << 20,
+        max_wav_samples: int = 480_000,  # top extraction bucket (30 s)
+        max_feature_frames: int = 4096,
     ):
+        """``max_wav_samples``/``max_feature_frames`` cap request length at
+        ingress: anything longer would compile a fresh program past the top
+        bucket ON THE SINGLE DISPATCHER THREAD, stalling every coalesced
+        client behind one oversized clip."""
         self.predictor = predictor
         self.max_batch = max_batch or predictor.batch_size
         self.max_wait_ms = max_wait_ms
+        self.max_body_bytes = max_body_bytes
+        self.max_wav_samples = max_wav_samples
+        self.max_feature_frames = max_feature_frames
         self._queue: "queue.Queue[_WorkItem]" = queue.Queue()
         self._stop = threading.Event()
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -270,6 +281,13 @@ class PredictionServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
+                    if n < 0:
+                        # rfile.read(-1) would block on EOF forever on a
+                        # keep-alive socket, pinning this handler thread
+                        raise ValueError("bad Content-Length")
+                    if n > server.max_body_bytes:
+                        self._json(413, {"error": "body too large"})
+                        return
                     req = json.loads(self.rfile.read(n))
                     if not isinstance(req, dict):
                         raise ValueError("body must be a JSON object")
@@ -282,12 +300,22 @@ class PredictionServer:
                             raise ValueError(
                                 f"'features' must be (t, {dim}), got {arr.shape}"
                             )
+                        if arr.shape[0] > server.max_feature_frames:
+                            raise ValueError(
+                                f"'features' too long ({arr.shape[0]} > "
+                                f"{server.max_feature_frames} frames)"
+                            )
                         item = _WorkItem("features", arr)
                     elif "wav" in req:
                         arr = np.asarray(req["wav"], np.float32)
                         if arr.ndim != 1 or arr.shape[0] < 1:
                             raise ValueError(
                                 f"'wav' must be a 1-D sample list, got {arr.shape}"
+                            )
+                        if arr.shape[0] > server.max_wav_samples:
+                            raise ValueError(
+                                f"'wav' too long ({arr.shape[0]} > "
+                                f"{server.max_wav_samples} samples)"
                             )
                         item = _WorkItem("wav", arr)
                     elif "pcm16" in req:
@@ -303,6 +331,11 @@ class PredictionServer:
                                 "'pcm16' must be base64 of >=1 little-endian"
                                 " int16 samples"
                             )
+                        if len(raw) // 2 > server.max_wav_samples:
+                            raise ValueError(
+                                f"'pcm16' too long ({len(raw) // 2} > "
+                                f"{server.max_wav_samples} samples)"
+                            )
                         item = _WorkItem("wav", np.frombuffer(raw, "<i2"))
                     else:
                         raise ValueError(
@@ -311,7 +344,20 @@ class PredictionServer:
                 except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
                     self._json(400, {"error": str(e)})
                     return
+                if server._stop.is_set():
+                    self._json(503, {"error": "server shutting down"})
+                    return
                 server._queue.put(item)
+                if server._stop.is_set():
+                    # closes the put-after-final-drain race: either the
+                    # dispatcher/drain completed the future first (done)
+                    # or we fail it here — no client waits out the timeout
+                    try:
+                        item.future.set_exception(
+                            RuntimeError("server shutting down")
+                        )
+                    except Exception:  # already completed — fine
+                        pass
                 try:
                     self._json(200, item.future.result(timeout=120))
                 except Exception as e:  # noqa: BLE001 — report, don't crash

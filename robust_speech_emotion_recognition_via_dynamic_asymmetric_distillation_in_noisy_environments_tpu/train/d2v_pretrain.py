@@ -299,6 +299,13 @@ def run_d2v_pretrain(
         # continues the interrupted one instead of replaying epoch 0 and
         # truncating d2v_training_history.json
         state, meta = restore_train_state(ckpt_path, state)
+        if mesh is not None:
+            # from_bytes returns host leaves — re-place so the restored
+            # state keeps its dp/tp shardings instead of re-uploading a
+            # replicated host tree on the first step
+            from ..parallel.d2v_sharded import place_d2v_state as _place
+
+            state = _place(state, mesh)
         meta = meta or {}
         if "rng" in meta:
             rng = jax.random.wrap_key_data(
@@ -507,7 +514,11 @@ def run_d2v_pretrain(
                 done = True
                 break
         else:
-            if not epoch_had_batches:
+            if not epoch_had_batches and batch_in_epoch == 0:
+                # genuinely too few clips for one batch (a resume whose
+                # checkpoint landed on an exact epoch boundary also yields
+                # an empty pass — batch_in_epoch > 0 — and must just roll
+                # into the next epoch)
                 raise ValueError(
                     f"epoch {epoch} produced no batches "
                     f"({len(ds.files_for_epoch(epoch))} usable clips < "

@@ -716,6 +716,58 @@ def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
     )
 
 
+def test_resume_from_exact_epoch_boundary(tmp_path, monkeypatch):
+    """A checkpoint saved on the last batch of an epoch must resume into
+    the NEXT epoch, not die with a spurious 'produced no batches' error
+    (skip == num_batches makes the resumed epoch's iterator empty)."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+        d2v_pretrain as d2v_models,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    # 4 clips, batch 2 -> 2 batches/epoch; crash right after step 2's
+    # checkpoint = an exact epoch boundary
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=5, warmup_steps=1, clone_batch=2)
+
+    full = os.path.join(str(tmp_path), "full")
+    run_d2v_pretrain(cfg, pcfg, [d], full, log_every=1, checkpoint_every=0)
+
+    real_make = d2v_models.make_d2v_train_step
+
+    def crashing_make(model, tx):
+        real_step = real_make(model, tx)
+        calls = {"n": 0}
+
+        def step(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise RuntimeError("simulated crash")
+            return real_step(*a, **kw)
+
+        return step
+
+    part = os.path.join(str(tmp_path), "part")
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", crashing_make)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1,
+                         checkpoint_every=2)
+    monkeypatch.setattr(d2v_models, "make_d2v_train_step", real_make)
+    run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1, checkpoint_every=0,
+                     resume=True)
+    h_full = json.load(open(os.path.join(full, "d2v_training_history.json")))
+    h_part = json.load(open(os.path.join(part, "d2v_training_history.json")))
+    assert [e["step"] for e in h_part] == [e["step"] for e in h_full]
+    for a, b in zip(h_full, h_part):
+        assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
+
+
 def test_empty_epoch_raises(tmp_path):
     """1..batch_size-1 usable clips must raise, not busy-loop forever."""
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
