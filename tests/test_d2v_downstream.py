@@ -158,13 +158,13 @@ def test_d2v_export_feeds_dad_end_to_end(setup):
     ws = load_wav_store(manifest, label_map)
     pre_params = load_pretrained_encoder(os.path.join(tmp, "d2v"), cfg)
     ex = FeatureExtractor(cfg, pre_params, batch_size=8, buckets=(N, 2 * N))
-    clean = store_from_clips(ex.extract_clips(ws.clips()), ws)
+    clean = store_from_clips(ex.extract_clips(ws.clips()), ws, cfg.embed_dim)
     noisy_wavs = [
         add_white_noise_np(ws.clip(i).astype(np.float64), 5.0,
                            np.random.default_rng((42, i))).astype(np.float32)
         for i in range(ws.num)
     ]
-    noisy = store_from_clips(ex.extract_clips(noisy_wavs), ws)
+    noisy = store_from_clips(ex.extract_clips(noisy_wavs), ws, cfg.embed_dim)
 
     dcfg = dad_preset(
         "emodb", batch_size=8, epochs=2, warmup_epochs=1, ecda_start_epoch=1,
