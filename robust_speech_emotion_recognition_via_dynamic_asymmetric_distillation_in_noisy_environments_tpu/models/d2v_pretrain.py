@@ -77,6 +77,7 @@ class Decoder1d(nn.Module):
     dcfg: Any  # D2vDecoderConfig
     input_dim: int
     dtype: jnp.dtype = jnp.float32
+    fast_ln: bool = False  # honor EncoderConfig.fast_ln like every encoder norm
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -96,7 +97,7 @@ class Decoder1d(nn.Module):
             if trim:
                 x = x[:, :-trim]
             x = make_norm(
-                False, 1e-5, f"ln_{i}", use_scale=False, use_bias=False
+                self.fast_ln, 1e-5, f"ln_{i}", use_scale=False, use_bias=False
             )(x)
             x = jax.nn.gelu(x, approximate=False).astype(self.dtype)
             if dc.decoder_residual and residual.shape[-1] == x.shape[-1]:
@@ -174,6 +175,7 @@ class D2vPretrainModel(nn.Module):
             dcfg=self.pcfg.decoder,
             input_dim=c.embed_dim,
             dtype=dtype,
+            fast_ln=c.fast_ln,
             name="decoder",
         )
 
@@ -288,11 +290,25 @@ def d2v_loss(
     return (per_pos * w).sum() / jnp.clip(w.sum(), 1.0, None)
 
 
-def compute_var(y: jax.Array) -> jax.Array:
+def compute_var(y: jax.Array, valid: Optional[jax.Array] = None) -> jax.Array:
     """sqrt(per-dim variance across tokens).mean() — the collapse telemetry
-    behind min_target_var / min_pred_var (reference config.py:77-83)."""
+    behind min_target_var / min_pred_var (reference config.py:77-83).
+
+    ``valid`` (bool, y's leading dims): restrict the token population. The
+    reference computes this on the masked-EXTRACTED tokens only; padded or
+    unmasked frames must not prop up a collapsing statistic. Unbiased
+    variance like torch.var."""
     z = y.reshape(-1, y.shape[-1]).astype(jnp.float32)
-    return jnp.sqrt(z.var(axis=0) + 1e-6).mean()
+    if valid is None:
+        n = jnp.asarray(float(max(z.shape[0], 1)))
+        mu = z.mean(axis=0)
+        var = ((z - mu) ** 2).sum(axis=0) / jnp.clip(n - 1.0, 1.0, None)
+    else:
+        w = valid.reshape(-1, 1).astype(jnp.float32)
+        n = jnp.clip(w.sum(), 1.0, None)
+        mu = (z * w).sum(axis=0) / n
+        var = (w * (z - mu) ** 2).sum(axis=0) / jnp.clip(n - 1.0, 1.0, None)
+    return jnp.sqrt(var + 1e-6).mean()
 
 
 def annealed_decay(pcfg: D2vPretrainConfig, step: jax.Array) -> jax.Array:
@@ -394,7 +410,7 @@ def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
     disables the dropouts (fairseq ``model.eval()`` validation
     semantics; masking still draws from ``key``, so a fixed key gives a
     stable comparable validation metric)."""
-    cfg, pcfg = model.cfg, model.pcfg
+    pcfg = model.pcfg
 
     def loss_fn(params, ema_blocks, wav, wav_pad, key):
         k_mask, k_drop, k_tok, k_din, k_dtok, k_chan = jax.random.split(key, 6)
@@ -411,8 +427,17 @@ def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
 
         # --- teacher: unmasked pass, EMA'd main blocks, no grad ---
         t_params = merge_teacher_params(params, ema_blocks)
-        xt = x_local + model.apply(
-            t_params, x_local, fm, method=D2vPretrainModel.positional
+        if pcfg.ema_encoder_only:
+            xt_local = x_local  # teacher shares the student's feature
+            # extractor under stop_gradient (config.py:66-71 semantics)
+        else:
+            # whole-model EMA: the teacher re-extracts its own features
+            # with the EMA'd local encoder/proj
+            xt_local, _ = model.apply(
+                t_params, wav, wav_pad, method=D2vPretrainModel.local_features
+            )
+        xt = xt_local + model.apply(
+            t_params, xt_local, fm, method=D2vPretrainModel.positional
         )
         _, layer_ts = model.apply(
             t_params, xt, fm, True, method=D2vPretrainModel.contextualize
@@ -447,9 +472,11 @@ def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
         )
         if pcfg.mask_channel_prob > 0:
             # base.py:456-469: span-mask embedding channels per clip and
-            # zero them across all timesteps (applied after the time mask,
-            # before masked-token removal — channel zeros ride along on the
-            # kept tokens)
+            # zero them across all timesteps. Like the time mask, channel
+            # zeros reach the student only through the POSITIONAL conv:
+            # the kept-token values are gathered from the pre-mask
+            # features (make_maskinfo's x_unmasked is built BEFORE
+            # apply_mask, base.py:407-440)
             ch_mask, _ = sample_span_mask(
                 k_chan, b * m, d, pcfg.mask_channel_prob,
                 pcfg.mask_channel_length,
@@ -460,7 +487,11 @@ def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
         x_pos = model.apply(
             params, x_masked, fm_rep, method=D2vPretrainModel.positional
         )
-        x_kept = gather_unmasked(x_masked, info) + gather_unmasked(x_pos, info)
+        # kept tokens come from the UNmasked features (x_unmasked is
+        # gathered pre-apply_mask in the reference); identical to gathering
+        # from x_masked for pure time masking (kept positions untouched),
+        # required for channel-mask parity
+        x_kept = gather_unmasked(x_rep, info) + gather_unmasked(x_pos, info)
         pm_kept = gather_unmasked_mask(fm_rep, info)
         x_enc, _ = model.apply(
             params, x_kept, pm_kept, not train,
@@ -495,8 +526,10 @@ def make_d2v_loss_fn(model: D2vPretrainModel, train: bool = True):
             "loss": total,
             "d2v_loss": loss_frame,
             "cls_loss": loss_utt,
-            "target_var": compute_var(y),
-            "pred_var": compute_var(pred),
+            # collapse telemetry on the masked-token population only, like
+            # the reference (it extracts masked tokens before compute_var)
+            "target_var": compute_var(y_rep, w_frame),
+            "pred_var": compute_var(pred, w_frame),
             "masked_pct": w_frame.mean(),
         }
         return total, metrics
@@ -521,7 +554,7 @@ def make_d2v_eval_step(model: D2vPretrainModel):
 def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
     """jit=False returns the raw step body (used by the scan-chunk runner,
     which jits the whole chunk instead)."""
-    cfg, pcfg = model.cfg, model.pcfg
+    pcfg = model.pcfg
     loss_fn = make_d2v_loss_fn(model, train=True)
 
     def step_fn(state: D2vTrainState, wav, wav_pad, key):

@@ -336,6 +336,35 @@ def test_mask_channel_prob_masks_channels_and_is_live(tiny_state, rng):
     assert losses[0.0] != losses[0.5]
 
 
+def test_whole_model_ema_teacher_reextracts(tiny_state, rng):
+    """ema_encoder_only=False (whole-model EMA): the teacher must compute
+    its OWN local features with the EMA'd extractor — after the EMA copies
+    drift from the student, the loss differs from the encoder-only mode on
+    the same inputs, and the step stays finite."""
+    cfg, pcfg, _model, _tx, _state = tiny_state
+    from dataclasses import replace
+
+    wav = rng.normal(size=(4, 64)).astype(np.float32)
+    pad = np.zeros((4, 64), bool)
+    losses = {}
+    for flag in (True, False):
+        pcfg_f = replace(pcfg, ema_encoder_only=flag, ema_decay=0.5)
+        model_f, tx_f, state_f = init_d2v_state(
+            cfg, pcfg_f, jax.random.PRNGKey(0), example_len=64
+        )
+        if not flag:
+            assert "local_encoder" in state_f.ema_blocks
+        step = make_d2v_train_step(model_f, tx_f)
+        # three steps: the warmup schedule makes update 1 a no-op (lr=0),
+        # so the EMA extractor only drifts from update 2 onward
+        state_f, _ = step(state_f, wav, pad, jax.random.PRNGKey(3))
+        state_f, _ = step(state_f, wav, pad, jax.random.PRNGKey(4))
+        _s, m = step(state_f, wav, pad, jax.random.PRNGKey(5))
+        losses[flag] = float(m["loss"])
+        assert np.isfinite(losses[flag])
+    assert losses[True] != losses[False]
+
+
 def test_teacher_params_merge(tiny_state):
     cfg, pcfg, model, tx, state = tiny_state
     tp = merge_teacher_params(state.params, state.ema_blocks)
