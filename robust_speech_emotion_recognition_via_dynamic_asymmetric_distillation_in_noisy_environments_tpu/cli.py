@@ -206,24 +206,16 @@ def _cmd_dad(args):
     return 0
 
 
-def _cmd_dad_fused(args):
-    """Fused wav->train mode: one XLA program per step does injection +
-    extraction + the DAD update (train/fused_trainer.py)."""
-    from .configs import EncoderConfig, dad_preset
+def _build_fused_from_args(args, cfg):
+    """Shared --from-wav setup: encoder config + checkpoint + FusedConfig
+    from the common injection flags (used by `dad --from-wav` and
+    `ablation --from-wav`)."""
+    from .configs import EncoderConfig
     from .models.convert import load_emotion2vec_checkpoint
     from .parallel.fused import FusedConfig
-    from .train.fused_trainer import FusedCrossDomainTrainer, run_fused_cv
 
     if not args.checkpoint:
         raise ValueError("--from-wav needs --checkpoint (emotion2vec weights)")
-    kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
-    if args.warmup_epochs is not None:
-        kw["warmup_epochs"] = args.warmup_epochs
-        kw["ecda_start_epoch"] = args.warmup_epochs
-    if args.batch_size is not None:
-        kw["batch_size"] = args.batch_size
-    cfg = dad_preset(args.corpus, **kw)
-
     enc_kw = {"dtype": args.encoder_dtype}
     if args.encoder_json:
         enc_kw.update(_load_encoder_json(args.encoder_json))
@@ -254,6 +246,24 @@ def _cmd_dad_fused(args):
         inject_noise_type=type_idx,
         cache_clean_features=True,
     )
+    return enc_cfg, enc_params, fused_cfg
+
+
+def _cmd_dad_fused(args):
+    """Fused wav->train mode: one XLA program per step does injection +
+    extraction + the DAD update (train/fused_trainer.py)."""
+    from .configs import dad_preset
+    from .train.fused_trainer import FusedCrossDomainTrainer, run_fused_cv
+
+    kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
+    if args.warmup_epochs is not None:
+        kw["warmup_epochs"] = args.warmup_epochs
+        kw["ecda_start_epoch"] = args.warmup_epochs
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    cfg = dad_preset(args.corpus, **kw)
+
+    enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
 
     mesh = None
     if args.dp > 0 or args.tp > 1:
@@ -321,26 +331,91 @@ def _cmd_serve(args):
     return 0
 
 
+def _sweep_cfg_kw(args):
+    """DAD-config keyword overrides shared by the ablation/sensitivity
+    commands (mirrors the dad command's handling)."""
+    kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
+    if getattr(args, "warmup_epochs", None) is not None:
+        kw["warmup_epochs"] = args.warmup_epochs
+        kw["ecda_start_epoch"] = args.warmup_epochs
+    if getattr(args, "batch_size", None) is not None:
+        kw["batch_size"] = args.batch_size
+    return kw
+
+
 def _cmd_ablation(args):
     from .configs import dad_preset
-    from .exp import GRANULAR_ABLATIONS, STANDARD_ABLATIONS, run_ablation_suite
+    from .exp import (
+        GRANULAR_ABLATIONS,
+        STANDARD_ABLATIONS,
+        fused_noise_condition_experiments,
+        noise_condition_experiments,
+        run_ablation_suite,
+        run_fused_ablation_suite,
+    )
 
+    if args.from_wav:
+        cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
+        enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
+        if args.suite == "noise":
+            if not args.noise_root:
+                raise ValueError("--suite noise with --from-wav needs "
+                                 "--noise-root (NOISEX-92 bank)")
+            suite = fused_noise_condition_experiments()
+        else:
+            suite = (STANDARD_ABLATIONS if args.suite == "standard"
+                     else GRANULAR_ABLATIONS)
+        run_fused_ablation_suite(
+            cfg, suite, args.from_wav, enc_cfg, enc_params,
+            base_fused_cfg=fused_cfg, noise_root=args.noise_root,
+            fold=args.fold, output_path=args.output,
+            prefetch_depth=args.prefetch_depth,
+            transfer_dtype=args.transfer_dtype,
+        )
+        return 0
+
+    if not (args.clean and args.noisy):
+        raise ValueError("--clean and --noisy are required "
+                         "(or use --from-wav for fused ablations)")
     cfg = dad_preset(
         args.corpus,
         clean_data_dir=args.clean,
         noisy_data_dir=args.noisy,
-        pretrained_weight=args.weights or "",
-        epochs=args.epochs,
+        **_sweep_cfg_kw(args),
     )
-    suite = STANDARD_ABLATIONS if args.suite == "standard" else GRANULAR_ABLATIONS
+    if args.suite == "noise":
+        # --noisy is the BASE of the offline `root1-{type}-{snr}db` trees
+        # (the reference's NOISY_DATA_DIR swap grid)
+        suite = noise_condition_experiments(args.noisy)
+    else:
+        suite = (STANDARD_ABLATIONS if args.suite == "standard"
+                 else GRANULAR_ABLATIONS)
     run_ablation_suite(cfg, suite, fold=args.fold, output_path=args.output)
     return 0
 
 
 def _cmd_sensitivity(args):
     from .configs import dad_preset
-    from .exp.sensitivity import run_sensitivity_sweep
+    from .exp.sensitivity import (
+        run_fused_sensitivity_sweep,
+        run_sensitivity_sweep,
+    )
 
+    values = [float(x) for x in args.values.split(",")] if args.values else None
+    if args.from_wav:
+        cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
+        enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
+        run_fused_sensitivity_sweep(
+            cfg, args.knob, args.from_wav, enc_cfg, enc_params,
+            base_fused_cfg=fused_cfg, noise_root=args.noise_root,
+            values=values, fold=args.fold, output_dir=args.output_dir,
+            prefetch_depth=args.prefetch_depth,
+            transfer_dtype=args.transfer_dtype,
+        )
+        return 0
+    if not (args.clean and args.noisy):
+        raise ValueError("--clean and --noisy are required "
+                         "(or use --from-wav for fused sweeps)")
     cfg = dad_preset(
         args.corpus,
         clean_data_dir=args.clean,
@@ -348,7 +423,6 @@ def _cmd_sensitivity(args):
         pretrained_weight=args.weights or "",
         epochs=args.epochs,
     )
-    values = [float(x) for x in args.values.split(",")] if args.values else None
     run_sensitivity_sweep(
         cfg, args.knob, values=values, fold=args.fold,
         output_dir=args.output_dir,
@@ -447,6 +521,35 @@ def _cmd_analyze(args):
     else:
         raise SystemExit(f"unknown analysis kind {args.kind}")
     return 0
+
+
+def _add_fused_args(p):
+    """The common --from-wav flag set shared by the `ablation` and
+    `sensitivity` subcommands (the `dad` subcommand declares its own with
+    trainer-specific help texts)."""
+    p.add_argument("--from-wav", default=None, metavar="MANIFEST_DIR",
+                   help="run fused from a clean wav manifest dir "
+                        "(on-device injection; replaces --clean/--noisy)")
+    p.add_argument("--checkpoint", default=None,
+                   help="emotion2vec encoder weights (--from-wav mode)")
+    p.add_argument("--encoder-dtype", default="bfloat16")
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON of EncoderConfig overrides (fused mode)")
+    p.add_argument("--snr", type=float, default=10.0,
+                   help="base injection SNR dB (fused mode)")
+    p.add_argument("--snr-choices", default=None,
+                   help="comma list; per-clip random SNR (fused multi-SNR)")
+    p.add_argument("--noise-root", default=None,
+                   help="NOISEX-92 5types dir (fused bank injection; "
+                        "required for ablation --suite noise)")
+    p.add_argument("--noise-mode", choices=["fixed", "random"],
+                   default="fixed")
+    p.add_argument("--noise-type", default="babble")
+    p.add_argument("--prefetch-depth", type=int, default=2)
+    p.add_argument("--transfer-dtype", default=None)
+    p.add_argument("--warmup-epochs", type=int, default=None,
+                   help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
+    p.add_argument("--batch-size", type=int, default=None)
 
 
 def main(argv=None) -> int:
@@ -661,10 +764,19 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("ablation")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
-    p.add_argument("--clean", required=True)
-    p.add_argument("--noisy", required=True)
+    p.add_argument("--clean", default=None,
+                   help="clean feature dir (feature-level mode)")
+    p.add_argument("--noisy", default=None,
+                   help="noisy feature dir (feature-level mode); with "
+                        "--suite noise: the BASE dir of the offline "
+                        "root1-{type}-{snr}db trees")
+    # fused mode: the whole suite runs wav->train with on-device injection;
+    # --suite noise sweeps the reference's 4-type x 4-SNR grid as injection
+    # config swaps (one corpus decode + one clean extraction total)
+    _add_fused_args(p)
     p.add_argument("--weights", default=None)
-    p.add_argument("--suite", choices=["standard", "granular"], default="standard")
+    p.add_argument("--suite", choices=["standard", "granular", "noise"],
+                   default="standard")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--output", default="ablation_results.json")
@@ -674,8 +786,11 @@ def main(argv=None) -> int:
                        help="hyperparameter sensitivity sweep "
                             "(run_hyperparameter_sensitivity*.py)")
     p.add_argument("--corpus", choices=["iemocap", "casia", "emodb"], required=True)
-    p.add_argument("--clean", required=True)
-    p.add_argument("--noisy", required=True)
+    p.add_argument("--clean", default=None,
+                   help="clean feature dir (feature-level mode)")
+    p.add_argument("--noisy", default=None,
+                   help="noisy feature dir (feature-level mode)")
+    _add_fused_args(p)
     p.add_argument("--weights", default=None)
     p.add_argument("--knob", required=True,
                    help="e.g. WEIGHT_ECDA, DACP_CALIBRATION_STRENGTH_LAMBDA, "

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..configs import DADConfig
 from ..utils import dump_json, get_logger
-from .runner import run_single_experiment
+from .runner import run_single_experiment, run_single_fused_experiment
 
 logger = get_logger(__name__)
 
@@ -59,6 +59,79 @@ def noise_condition_experiments(noisy_root: str) -> Dict[str, Dict[str, Any]]:
                 "NOISY_DATA_DIR": os.path.join(noisy_root, f"root1-{ntype}-{snr}db")
             }
     return out
+
+
+def fused_noise_condition_experiments(
+    noise_types: Iterable[str] = NOISE_GRID_TYPES,
+    snrs: Iterable[float] = NOISE_GRID_SNRS,
+) -> Dict[str, Dict[str, Any]]:
+    """The reference noise grid (run_ablation_studies_iemocap.py:83-161) as
+    FUSED injection-config swaps: each cell that the reference reaches via a
+    NOISY_DATA_DIR pointing at an offline-preprocessed `root1-{type}-{snr}db`
+    tree becomes an on-device bank-injection setting — no offline trees, no
+    per-cell extraction stage (the clean pass is shared across the grid)."""
+    out = {}
+    for ntype in noise_types:
+        for snr in snrs:
+            out[f"{ntype}_{int(snr)}db"] = {
+                "INJECT_NOISE_MODE": "fixed",
+                "INJECT_NOISE_TYPE": ntype,
+                "INJECT_SNR_DB": float(snr),
+            }
+    return out
+
+
+def run_fused_ablation_suite(
+    base_cfg: DADConfig,
+    experiments: Mapping[str, Mapping[str, Any]],
+    manifest_dir: str,
+    encoder_cfg,
+    enc_params,
+    base_fused_cfg=None,
+    noise_root: Optional[str] = None,
+    fold: int = 0,
+    output_path: str = "ablation_results.json",
+    pretrain_params=None,
+    mesh=None,
+    prefetch_depth: int = 2,
+    transfer_dtype: Optional[str] = None,
+) -> List[Dict[str, Any]]:
+    """run_ablation_suite for the fused wav->train mode: same experiment
+    dicts (reference UPPER_SNAKE knobs) plus FUSED_INJECTION_KEYS, same
+    results JSON + markdown contract. The fold-independent startup (wav
+    decode, clean extraction, fixed noisy domain) is computed ONCE and
+    shared across experiments; only injection-overriding cells rebuild the
+    noisy val/test domain."""
+    from ..train.fused_trainer import (
+        _normalize_fused_cfg,
+        prepare_fused_shared,
+    )
+
+    base_fused_cfg = _normalize_fused_cfg(
+        base_cfg, encoder_cfg, base_fused_cfg, noise_root
+    )
+    shared = prepare_fused_shared(
+        base_cfg, manifest_dir, encoder_cfg, enc_params, base_fused_cfg,
+        noise_root, mesh=mesh,
+    )
+    results = []
+    for name, overrides in experiments.items():
+        try:
+            res = run_single_fused_experiment(
+                base_cfg, name, overrides, manifest_dir, encoder_cfg,
+                enc_params, base_fused_cfg=base_fused_cfg,
+                noise_root=noise_root, fold=fold, shared=shared,
+                pretrain_params=pretrain_params, mesh=mesh,
+                prefetch_depth=prefetch_depth, transfer_dtype=transfer_dtype,
+            )
+        except Exception as e:  # keep the sweep alive (reference behavior)
+            logger.error("fused experiment %s failed: %s", name, e,
+                         exc_info=True)
+            res = {"name": name, "overrides": dict(overrides), "error": str(e)}
+        results.append(res)
+    dump_json(results, output_path)
+    _write_markdown_table(results, output_path.replace(".json", ".md"))
+    return results
 
 
 def run_ablation_suite(
@@ -103,6 +176,47 @@ def _write_markdown_table(results: List[Dict[str, Any]], path: str) -> None:
             )
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def run_fused_experiment_on_multiple_noises(
+    base_cfg: DADConfig,
+    name: str,
+    overrides: Mapping[str, Any],
+    manifest_dir: str,
+    encoder_cfg,
+    enc_params,
+    cells: Optional[Mapping[str, Mapping[str, Any]]] = None,
+    base_fused_cfg=None,
+    noise_root: Optional[str] = None,
+    fold: int = 0,
+    shared=None,
+    **kw,
+) -> Dict[str, Any]:
+    """run_experiment_on_multiple_noises for the fused mode: one mechanism
+    ablation averaged across injection-config cells (default: the full
+    reference noise grid, fused_noise_condition_experiments). ``shared`` is
+    a prepare_fused_shared dict to reuse across cells (each cell still
+    rebuilds its own fixed noisy val/test domain)."""
+    cells = cells if cells is not None else fused_noise_condition_experiments()
+    was, wf1s, per_noise = [], [], {}
+    for cell_name, inj in cells.items():
+        ov = dict(overrides)
+        ov.update(inj)
+        res = run_single_fused_experiment(
+            base_cfg, f"{name}_{cell_name}", ov, manifest_dir, encoder_cfg,
+            enc_params, base_fused_cfg=base_fused_cfg, noise_root=noise_root,
+            fold=fold, shared=shared, **kw,
+        )
+        if "noisy_wa" in res:
+            was.append(res["noisy_wa"])
+            wf1s.append(res["noisy_wf1"])
+        per_noise[cell_name] = res
+    return {
+        "name": name,
+        "mean_noisy_wa": float(np.mean(was)) if was else None,
+        "mean_noisy_wf1": float(np.mean(wf1s)) if wf1s else None,
+        "per_noise": per_noise,
+    }
 
 
 def run_experiment_on_multiple_noises(

@@ -39,6 +39,124 @@ def scrape_best_results(results_dir: str) -> Optional[Dict[str, Any]]:
     }
 
 
+# Injection knobs a fused experiment may override (no reference counterpart:
+# the reference expresses noise conditions as NOISY_DATA_DIR swaps into
+# offline-preprocessed trees; fused training expresses them as on-device
+# injection config). Values mirror cli.py `dad --from-wav` flags.
+FUSED_INJECTION_KEYS = (
+    "INJECT_SNR_DB",        # float | None
+    "INJECT_SNR_CHOICES",   # iterable of floats | None
+    "INJECT_NOISE_MODE",    # None (white) | "fixed" (root1) | "random" (root2)
+    "INJECT_NOISE_TYPE",    # NOISEX type name (str) or bank index (int)
+)
+
+
+def split_fused_overrides(overrides: Mapping[str, Any]):
+    """Splits an experiment override dict into (DAD-config overrides,
+    FusedConfig injection replacements)."""
+    from ..audio.noise import NOISE_TYPES
+
+    dad_ov, inj = {}, {}
+    for k, v in overrides.items():
+        if k not in FUSED_INJECTION_KEYS:
+            dad_ov[k] = v
+        elif k == "INJECT_SNR_DB":
+            inj["inject_snr_db"] = None if v is None else float(v)
+        elif k == "INJECT_SNR_CHOICES":
+            inj["inject_snr_choices"] = (
+                None if v is None else tuple(float(x) for x in v)
+            )
+        elif k == "INJECT_NOISE_MODE":
+            if v not in (None, "fixed", "random"):
+                raise ValueError(f"INJECT_NOISE_MODE={v!r}: expected "
+                                 "None, 'fixed' or 'random'")
+            inj["inject_noise_bank_mode"] = v
+        else:  # INJECT_NOISE_TYPE
+            inj["inject_noise_type"] = (
+                NOISE_TYPES.index(v) if isinstance(v, str) else int(v)
+            )
+    # a multi-SNR override supersedes the base single SNR and vice versa
+    if inj.get("inject_snr_choices") and "inject_snr_db" not in inj:
+        inj["inject_snr_db"] = None
+    if inj.get("inject_snr_db") is not None and "inject_snr_choices" not in inj:
+        inj["inject_snr_choices"] = None
+    return dad_ov, inj
+
+
+def run_single_fused_experiment(
+    base_cfg: DADConfig,
+    name: str,
+    overrides: Mapping[str, Any],
+    manifest_dir: str,
+    encoder_cfg,
+    enc_params,
+    base_fused_cfg=None,
+    noise_root: Optional[str] = None,
+    fold: int = 0,
+    shared: Optional[dict] = None,
+    pretrain_params=None,
+    mesh=None,
+    prefetch_depth: int = 2,
+    transfer_dtype: Optional[str] = None,
+) -> Dict[str, Any]:
+    """One named FUSED experiment: DAD-config overrides route through
+    ``apply_overrides`` exactly like the feature-level runner; injection
+    overrides (FUSED_INJECTION_KEYS) route into the FusedConfig. When the
+    experiment changes the injection, only the fixed noisy val/test domain
+    of ``shared`` is rebuilt (train/fused_trainer.py:refresh_noisy_domain);
+    the wav decode and the clean extraction pass are reused."""
+    from dataclasses import replace
+
+    from ..train.fused_trainer import (
+        FusedCrossDomainTrainer,
+        _normalize_fused_cfg,
+        refresh_noisy_domain,
+    )
+
+    dad_ov, inj = split_fused_overrides(overrides)
+    cfg = apply_overrides(base_cfg, dad_ov)
+    fused_cfg = base_fused_cfg
+    if fused_cfg is None:
+        from ..parallel.fused import FusedConfig
+
+        fused_cfg = FusedConfig(
+            encoder=encoder_cfg, dad=cfg, inject_snr_db=10.0,
+            cache_clean_features=True,
+        )
+    if inj:
+        fused_cfg = _normalize_fused_cfg(
+            cfg, encoder_cfg, replace(fused_cfg, **inj), noise_root
+        )
+        if shared is not None:
+            shared = refresh_noisy_domain(shared, fused_cfg, noise_root)
+    logger.info("=== fused experiment %s (fold %d) overrides=%s ===",
+                name, fold + 1, dict(overrides))
+    trainer = FusedCrossDomainTrainer(
+        cfg,
+        manifest_dir,
+        encoder_cfg,
+        enc_params,
+        fused_cfg=fused_cfg,
+        noise_root=noise_root,
+        fold=fold,
+        experiment_name=name,
+        pretrain_params=pretrain_params,
+        prefetch_depth=prefetch_depth,
+        mesh=mesh,
+        transfer_dtype=transfer_dtype,
+        shared=shared,
+    )
+    out = trainer.train()
+    scraped = scrape_best_results(out["results_dir"]) or {}
+    return {
+        "name": name,
+        "overrides": dict(overrides),
+        "best_noisy_weighted_acc": out["best_noisy_weighted_acc"],
+        "results_dir": out["results_dir"],
+        **scraped,
+    }
+
+
 def run_single_experiment(
     base_cfg: DADConfig,
     name: str,

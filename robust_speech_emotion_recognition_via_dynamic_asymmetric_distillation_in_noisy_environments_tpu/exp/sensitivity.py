@@ -46,10 +46,18 @@ def run_sensitivity_sweep(
     fold: int = 0,
     output_dir: str = "sensitivity_results",
     extra_overrides: Mapping[str, Any] | None = None,
+    runner=None,
     **stores,
 ) -> List[Dict[str, Any]]:
+    """``runner(name, overrides) -> result dict`` overrides the default
+    feature-level experiment runner (run_fused_sensitivity_sweep passes a
+    fused one); the sweep/plot/JSON contract is identical either way."""
     values = list(values if values is not None else SWEEPABLE.get(knob, DEFAULT_GRID))
     os.makedirs(output_dir, exist_ok=True)
+    if runner is None:
+        def runner(name, overrides):
+            return run_single_experiment(base_cfg, name, overrides, fold,
+                                         **stores)
     results = []
     for v in values:
         overrides = dict(extra_overrides or {})
@@ -60,7 +68,7 @@ def run_sensitivity_sweep(
             overrides[knob] = v
         name = f"sens_{knob}_{v}"
         try:
-            res = run_single_experiment(base_cfg, name, overrides, fold, **stores)
+            res = runner(name, overrides)
         except Exception as e:
             logger.error("sweep point %s=%s failed: %s", knob, v, e)
             res = {"name": name, "error": str(e)}
@@ -69,6 +77,52 @@ def run_sensitivity_sweep(
     dump_json(results, os.path.join(output_dir, f"sensitivity_{knob}.json"))
     _plot(results, knob, output_dir)
     return results
+
+
+def run_fused_sensitivity_sweep(
+    base_cfg: DADConfig,
+    knob: str,
+    manifest_dir: str,
+    encoder_cfg,
+    enc_params,
+    base_fused_cfg=None,
+    noise_root: str | None = None,
+    values: Sequence[float] | None = None,
+    fold: int = 0,
+    output_dir: str = "sensitivity_results",
+    extra_overrides: Mapping[str, Any] | None = None,
+    pretrain_params=None,
+    mesh=None,
+    prefetch_depth: int = 2,
+    transfer_dtype: str | None = None,
+) -> List[Dict[str, Any]]:
+    """run_sensitivity_sweep over the FUSED wav->train mode: the
+    fold-independent startup (wav decode, clean extraction, fixed noisy
+    domain) is computed once and shared across every sweep point — sweep
+    knobs never change the injection, so nothing is re-extracted."""
+    from ..train.fused_trainer import _normalize_fused_cfg, prepare_fused_shared
+    from .runner import run_single_fused_experiment
+
+    base_fused_cfg = _normalize_fused_cfg(
+        base_cfg, encoder_cfg, base_fused_cfg, noise_root
+    )
+    shared = prepare_fused_shared(
+        base_cfg, manifest_dir, encoder_cfg, enc_params, base_fused_cfg,
+        noise_root, mesh=mesh,
+    )
+
+    def runner(name, overrides):
+        return run_single_fused_experiment(
+            base_cfg, name, overrides, manifest_dir, encoder_cfg, enc_params,
+            base_fused_cfg=base_fused_cfg, noise_root=noise_root, fold=fold,
+            shared=shared, pretrain_params=pretrain_params, mesh=mesh,
+            prefetch_depth=prefetch_depth, transfer_dtype=transfer_dtype,
+        )
+
+    return run_sensitivity_sweep(
+        base_cfg, knob, values=values, fold=fold, output_dir=output_dir,
+        extra_overrides=extra_overrides, runner=runner,
+    )
 
 
 def _plot(results, knob, output_dir):

@@ -189,6 +189,44 @@ def prepare_fused_shared(
     }
 
 
+def refresh_noisy_domain(
+    shared: Dict,
+    fused_cfg: FusedConfig,
+    noise_root: Optional[str],
+    val_injection_seed: int = 42,
+) -> Dict:
+    """Rebuilds only the injection-DEPENDENT half of a
+    ``prepare_fused_shared`` dict — the fixed noisy val/test domain (and the
+    raw noise clips when the new config needs a bank the old one didn't).
+
+    The wav store, the placed extractor, and the clean extraction pass are
+    injection-invariant and are reused as-is. This is what lets the fused
+    ablation harness sweep the reference's noise grid
+    (run_ablation_studies_iemocap.py:83-161 — 4 types x 4 SNRs of
+    NOISY_DATA_DIR swaps, each of which the reference pays a full offline
+    injection + extraction pipeline for) with one corpus decode and one
+    clean extraction total: each cell costs only its own fixed-domain
+    injection + extraction pass."""
+    noise_clips = shared.get("noise_clips")
+    if fused_cfg.inject_noise_bank_mode is not None and noise_clips is None:
+        if not noise_root:
+            raise ValueError("bank injection modes need noise_root")
+        noise_clips = noise_ops.load_noise_clips(noise_root)
+    wav_store = shared["wav_store"]
+    extractor = shared["extractor"]
+    logger.info("fused trainer: rebuilding fixed noisy val/test domain (%s)",
+                injection_display_name(fused_cfg))
+    noisy_wavs = inject_fixed(wav_store, fused_cfg, noise_clips,
+                              val_injection_seed)
+    noisy_feats = extractor.extract_clips(noisy_wavs)
+    out = dict(shared)
+    out["noise_clips"] = noise_clips
+    out["noisy_store"] = store_from_clips(
+        noisy_feats, wav_store, extractor.cfg.embed_dim
+    )
+    return out
+
+
 def _normalize_fused_cfg(
     cfg: DADConfig,
     encoder_cfg: EncoderConfig,

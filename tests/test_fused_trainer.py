@@ -290,3 +290,147 @@ def test_fused_trainer_dp_mesh_matches_single(corpus, tmp_path):
         np.asarray(single.anchors), np.asarray(sharded.anchors),
         rtol=1e-4, atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused ablation harness (exp/runner.py + exp/ablation.py, round 3)
+
+
+def test_split_fused_overrides():
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp.runner import (
+        split_fused_overrides,
+    )
+
+    dad_ov, inj = split_fused_overrides({
+        "USE_DACP": False,
+        "INJECT_NOISE_MODE": "fixed",
+        "INJECT_NOISE_TYPE": "factory",
+        "INJECT_SNR_DB": 5,
+    })
+    assert dad_ov == {"USE_DACP": False}
+    assert inj == {
+        "inject_noise_bank_mode": "fixed",
+        "inject_noise_type": 2,  # NOISE_TYPES.index("factory")
+        "inject_snr_db": 5.0,
+        "inject_snr_choices": None,  # single SNR supersedes a base multi
+    }
+    # multi-SNR supersedes a base single SNR
+    _ov, inj2 = split_fused_overrides({"INJECT_SNR_CHOICES": (20, 10)})
+    assert inj2 == {"inject_snr_choices": (20.0, 10.0),
+                    "inject_snr_db": None}
+    with pytest.raises(ValueError):
+        split_fused_overrides({"INJECT_NOISE_MODE": "type_specific"})
+
+
+def _make_noise_root(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+
+    root = os.path.join(str(tmp_path), "5types")
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(5)
+    for fname in ("babble.wav", "f16.wav", "factory1.wav",
+                  "hfchannel.wav", "volvo.wav"):
+        write_wav(os.path.join(root, fname),
+                  (rng.normal(size=3000) * 0.1).astype(np.float32), 16000)
+    return root
+
+
+def test_fused_ablation_suite(corpus, tmp_path, monkeypatch):
+    """The ablation harness drives the fused trainer: mechanism toggles
+    reuse the whole startup (wav decode + clean AND noisy extraction);
+    a noise-grid cell rebuilds ONLY the fixed noisy val/test domain, and
+    its layered results dir matches an offline-tree run of that cell."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_fused_ablation_suite,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+
+    calls = {"n": 0}
+    real = FeatureExtractor.extract_clips
+
+    def counting(self, clips):
+        calls["n"] += 1
+        return real(self, clips)
+
+    monkeypatch.setattr(FeatureExtractor, "extract_clips", counting)
+
+    noise_root = _make_noise_root(tmp_path)
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    experiments = {
+        "full_method": {},
+        "no_dacp": {"USE_DACP": False},
+        "babble_5db": {"INJECT_NOISE_MODE": "fixed",
+                       "INJECT_NOISE_TYPE": "babble",
+                       "INJECT_SNR_DB": 5.0},
+    }
+    out_path = os.path.join(str(tmp_path), "ablation_results.json")
+    results = run_fused_ablation_suite(
+        cfg, experiments, corpus, TINY_ENC, tiny_enc_params(),
+        noise_root=noise_root, fold=0, output_path=out_path,
+        prefetch_depth=0,
+    )
+    assert [r["name"] for r in results] == list(experiments)
+    assert all("error" not in r for r in results), results
+    for r in results:
+        assert 0.0 <= r["noisy_wa"] <= 100.0
+        assert 0.0 <= r["best_noisy_weighted_acc"] <= 100.0
+
+    # startup sharing: base prepare_fused_shared = 2 extraction passes
+    # (clean + fixed noisy); the injection cell adds exactly 1 (noisy
+    # refresh); mechanism toggles add none
+    assert calls["n"] == 3, calls
+
+    # layered dirs: mechanism ablations keep the base injection's tree,
+    # the noise cell gets its own root1-babble-5db tree
+    sep = os.sep
+    assert f"root1{sep}white{sep}10db" in results[0]["results_dir"]
+    assert f"{sep}no_dacp{sep}" in results[1]["results_dir"]
+    assert f"root1{sep}babble{sep}5db" in results[2]["results_dir"]
+
+    # results JSON + markdown table contract (run_ablation_suite parity)
+    with open(out_path) as f:
+        dumped = json.load(f)
+    assert [r["name"] for r in dumped] == list(experiments)
+    md = out_path.replace(".json", ".md")
+    with open(md) as f:
+        table = f.read()
+    assert "babble_5db" in table and "FAILED" not in table
+
+
+def test_fused_sensitivity_sweep(corpus, tmp_path, monkeypatch):
+    """Fused sensitivity sweep: knob points share ONE startup (sweep knobs
+    never change the injection, so nothing is re-extracted), and the
+    JSON/plot contract matches the feature-level sweep."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_fused_sensitivity_sweep,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+
+    calls = {"n": 0}
+    real = FeatureExtractor.extract_clips
+
+    def counting(self, clips):
+        calls["n"] += 1
+        return real(self, clips)
+
+    monkeypatch.setattr(FeatureExtractor, "extract_clips", counting)
+
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    out_dir = os.path.join(str(tmp_path), "sens")
+    results = run_fused_sensitivity_sweep(
+        cfg, "WEIGHT_ECDA", corpus, TINY_ENC, tiny_enc_params(),
+        values=[0.0, 0.3], fold=0, output_dir=out_dir, prefetch_depth=0,
+    )
+    assert len(results) == 2
+    assert all("error" not in r for r in results), results
+    assert [r["value"] for r in results] == [0.0, 0.3]
+    assert all(r["knob"] == "WEIGHT_ECDA" for r in results)
+    # one prepare_fused_shared (clean + fixed noisy) for the whole sweep
+    assert calls["n"] == 2, calls
+    assert os.path.exists(os.path.join(out_dir, "sensitivity_WEIGHT_ECDA.json"))
