@@ -352,19 +352,33 @@ def _cmd_ablation(args):
         noise_condition_experiments,
         run_ablation_suite,
         run_fused_ablation_suite,
+        parse_injection_cells,
+        run_fused_multi_noise_suite,
+        run_multi_noise_suite,
     )
 
     if args.from_wav:
         cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
         enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
+        if (args.suite == "noise" or args.multi_noise) and not args.noise_root:
+            raise ValueError("--suite noise / --multi-noise with --from-wav "
+                             "need --noise-root (NOISEX-92 bank)")
+        suite = (STANDARD_ABLATIONS if args.suite == "standard"
+                 else GRANULAR_ABLATIONS)
+        if args.multi_noise:
+            # every mechanism averaged over the injection grid
+            # (run_granular_ablations*.py semantics, fused on-device)
+            run_fused_multi_noise_suite(
+                cfg, suite, args.from_wav, enc_cfg, enc_params,
+                cells=parse_injection_cells(args.multi_noise),
+                base_fused_cfg=fused_cfg, noise_root=args.noise_root,
+                fold=args.fold, output_path=args.output,
+                prefetch_depth=args.prefetch_depth,
+                transfer_dtype=args.transfer_dtype,
+            )
+            return 0
         if args.suite == "noise":
-            if not args.noise_root:
-                raise ValueError("--suite noise with --from-wav needs "
-                                 "--noise-root (NOISEX-92 bank)")
             suite = fused_noise_condition_experiments()
-        else:
-            suite = (STANDARD_ABLATIONS if args.suite == "standard"
-                     else GRANULAR_ABLATIONS)
         run_fused_ablation_suite(
             cfg, suite, args.from_wav, enc_cfg, enc_params,
             base_fused_cfg=fused_cfg, noise_root=args.noise_root,
@@ -383,6 +397,14 @@ def _cmd_ablation(args):
         noisy_data_dir=args.noisy,
         **_sweep_cfg_kw(args),
     )
+    if args.multi_noise:
+        suite = (STANDARD_ABLATIONS if args.suite == "standard"
+                 else GRANULAR_ABLATIONS)
+        run_multi_noise_suite(
+            cfg, suite, args.multi_noise.split(","), fold=args.fold,
+            output_path=args.output,
+        )
+        return 0
     if args.suite == "noise":
         # --noisy is the BASE of the offline `root1-{type}-{snr}db` trees
         # (the reference's NOISY_DATA_DIR swap grid)
@@ -456,6 +478,11 @@ def _cmd_fix_format(args):
 def _cmd_preprocess(args):
     from .exp.preprocess import run_noise_grid
 
+    encoder_cfg = None
+    if args.encoder_json:
+        from .configs import EncoderConfig
+
+        encoder_cfg = EncoderConfig(**_load_encoder_json(args.encoder_json))
     snrs = [float(x) for x in args.snrs.split(",")]
     types = args.noise_types.split(",") if args.noise_types else None
     run_noise_grid(
@@ -470,6 +497,7 @@ def _cmd_preprocess(args):
         features_base=args.features_base,
         verify=not args.no_verify,
         engine=args.engine,
+        encoder_cfg=encoder_cfg,
     )
     return 0
 
@@ -777,6 +805,13 @@ def main(argv=None) -> int:
     p.add_argument("--weights", default=None)
     p.add_argument("--suite", choices=["standard", "granular", "noise"],
                    default="standard")
+    p.add_argument("--multi-noise", default=None,
+                   help="average every suite experiment across noise "
+                        "conditions (run_granular_ablations*.py semantics). "
+                        "Feature mode: comma list of noisy feature dirs; "
+                        "fused mode: 'grid' for the full injection grid, or "
+                        "a comma list of type@snr cells (e.g. "
+                        "--multi-noise babble@10,f16@0)")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--output", default="ablation_results.json")
@@ -818,6 +853,8 @@ def main(argv=None) -> int:
     p.add_argument("--noise-root", default=None, help="NOISEX 5types dir")
     p.add_argument("--root2", action="store_true", help="random type per clip")
     p.add_argument("--checkpoint", default=None, help="extract features too")
+    p.add_argument("--encoder-json", default=None,
+                   help="JSON of EncoderConfig overrides for extraction")
     p.add_argument("--features-base", default=None)
     p.add_argument("--no-verify", action="store_true")
     p.add_argument("--engine", choices=["numpy", "native"], default="numpy",

@@ -12,6 +12,9 @@ from .ablation import (
     run_experiment_on_multiple_noises,
     run_fused_ablation_suite,
     run_fused_experiment_on_multiple_noises,
+    parse_injection_cells,
+    run_fused_multi_noise_suite,
+    run_multi_noise_suite,
 )
 from .sensitivity import run_fused_sensitivity_sweep, run_sensitivity_sweep
 from .preprocess import run_noise_grid
@@ -28,6 +31,9 @@ __all__ = [
     "run_fused_ablation_suite",
     "run_experiment_on_multiple_noises",
     "run_fused_experiment_on_multiple_noises",
+    "parse_injection_cells",
+    "run_multi_noise_suite",
+    "run_fused_multi_noise_suite",
     "run_sensitivity_sweep",
     "run_fused_sensitivity_sweep",
     "run_noise_grid",

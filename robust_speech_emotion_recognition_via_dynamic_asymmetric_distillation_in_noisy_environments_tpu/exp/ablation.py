@@ -14,7 +14,7 @@ UPPER_SNAKE constant names (configs.apply_overrides routes them).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Iterable, List, Mapping, Optional
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Sequence
 
 import numpy as np
 
@@ -79,6 +79,30 @@ def fused_noise_condition_experiments(
                 "INJECT_SNR_DB": float(snr),
             }
     return out
+
+
+def parse_injection_cells(spec: str) -> Optional[Dict[str, Dict[str, Any]]]:
+    """Parse a fused `--multi-noise` cell spec into injection overrides.
+
+    ``"grid"`` (or any value without ``@``) selects the full reference grid
+    (returns None → `fused_noise_condition_experiments()` downstream); a
+    comma list of ``type@snr`` entries (e.g. ``babble@10,f16@0``) selects an
+    explicit subset — the fused analogue of handing
+    run_granular_ablations*.py a custom noise_conditions list."""
+    if "@" not in spec:
+        return None
+    cells = {}
+    for item in spec.split(","):
+        ntype, _, snr = item.partition("@")
+        ntype, snr = ntype.strip(), snr.strip()
+        if not ntype or not snr:
+            raise ValueError(f"bad injection cell {item!r}; want type@snr")
+        cells[f"{ntype}_{int(float(snr))}db"] = {
+            "INJECT_NOISE_MODE": "fixed",
+            "INJECT_NOISE_TYPE": ntype,
+            "INJECT_SNR_DB": float(snr),
+        }
+    return cells
 
 
 def run_fused_ablation_suite(
@@ -217,6 +241,98 @@ def run_fused_experiment_on_multiple_noises(
         "mean_noisy_wf1": float(np.mean(wf1s)) if wf1s else None,
         "per_noise": per_noise,
     }
+
+
+def _write_multi_noise_markdown(results: List[Dict[str, Any]], path: str) -> None:
+    lines = [
+        "| experiment | mean noisy WA (%) | mean noisy W-F1 (%) | conditions |",
+        "|---|---|---|---|",
+    ]
+    for r in results:
+        if "error" in r:
+            lines.append(f"| {r['name']} | FAILED | - | - |")
+            continue
+        wa = r.get("mean_noisy_wa")
+        wf1 = r.get("mean_noisy_wf1")
+        lines.append(
+            f"| {r['name']} | "
+            f"{'-' if wa is None else format(wa, '.2f')} | "
+            f"{'-' if wf1 is None else format(wf1, '.2f')} | "
+            f"{len(r.get('per_noise', {}))} |"
+        )
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def run_multi_noise_suite(
+    base_cfg: DADConfig,
+    experiments: Mapping[str, Mapping[str, Any]],
+    noisy_dirs: Sequence[str],
+    fold: int = 0,
+    output_path: str = "granular_multi_noise_results.json",
+    **kw,
+) -> List[Dict[str, Any]]:
+    """The reference run_granular_ablations*.py main loop: every mechanism
+    ablation averaged over several noise conditions (feature-level,
+    NOISY_DATA_DIR swaps), with the sweep-alive error handling and a
+    summary table."""
+    results = []
+    for name, overrides in experiments.items():
+        try:
+            res = run_experiment_on_multiple_noises(
+                base_cfg, name, overrides, noisy_dirs, fold, **kw
+            )
+        except Exception as e:
+            logger.error("multi-noise experiment %s failed: %s", name, e)
+            res = {"name": name, "overrides": dict(overrides), "error": str(e)}
+        results.append(res)
+    dump_json(results, output_path)
+    _write_multi_noise_markdown(results, output_path.replace(".json", ".md"))
+    return results
+
+
+def run_fused_multi_noise_suite(
+    base_cfg: DADConfig,
+    experiments: Mapping[str, Mapping[str, Any]],
+    manifest_dir: str,
+    encoder_cfg,
+    enc_params,
+    cells: Optional[Mapping[str, Mapping[str, Any]]] = None,
+    base_fused_cfg=None,
+    noise_root: Optional[str] = None,
+    fold: int = 0,
+    output_path: str = "granular_multi_noise_results.json",
+    **kw,
+) -> List[Dict[str, Any]]:
+    """run_multi_noise_suite over the FUSED mode: cells default to the full
+    reference noise grid as on-device injection swaps; the wav decode and
+    the clean extraction are shared across every (mechanism x cell) run."""
+    from ..train.fused_trainer import _normalize_fused_cfg, prepare_fused_shared
+
+    cells = cells if cells is not None else fused_noise_condition_experiments()
+    base_fused_cfg = _normalize_fused_cfg(
+        base_cfg, encoder_cfg, base_fused_cfg, noise_root
+    )
+    shared = prepare_fused_shared(
+        base_cfg, manifest_dir, encoder_cfg, enc_params, base_fused_cfg,
+        noise_root, mesh=kw.get("mesh"),
+    )
+    results = []
+    for name, overrides in experiments.items():
+        try:
+            res = run_fused_experiment_on_multiple_noises(
+                base_cfg, name, overrides, manifest_dir, encoder_cfg,
+                enc_params, cells=cells, base_fused_cfg=base_fused_cfg,
+                noise_root=noise_root, fold=fold, shared=shared, **kw,
+            )
+        except Exception as e:
+            logger.error("fused multi-noise experiment %s failed: %s",
+                         name, e, exc_info=True)
+            res = {"name": name, "overrides": dict(overrides), "error": str(e)}
+        results.append(res)
+    dump_json(results, output_path)
+    _write_multi_noise_markdown(results, output_path.replace(".json", ".md"))
+    return results
 
 
 def run_experiment_on_multiple_noises(

@@ -31,8 +31,12 @@ def run_noise_grid(
     verify: bool = True,
     seed: int = 42,
     engine: str = "numpy",
+    encoder_cfg=None,
 ) -> List[Dict]:
-    """Returns one record per condition: {name, wav_dir, feature_dir}."""
+    """Returns one record per condition: {name, wav_dir, feature_dir}.
+
+    ``encoder_cfg`` (EncoderConfig) configures the extraction encoder when a
+    ``checkpoint`` is given; default is the full-size emotion2vec config."""
     import argparse
 
     typed = [t for t in (noise_types or []) if t not in (None, "white")]
@@ -44,6 +48,16 @@ def run_noise_grid(
             "noise_root is required for typed noise conditions "
             f"({typed or 'root2'}); white-noise grids use noise_types=None"
         )
+
+    enc_cfg = enc_params = None
+    if checkpoint:
+        # load once for the whole grid (the reference's PS loop re-invokes
+        # the extraction CLI per condition, re-reading the ~360 MB ckpt)
+        from ..configs import EncoderConfig
+        from ..models.convert import load_emotion2vec_checkpoint
+
+        enc_cfg = encoder_cfg or EncoderConfig()
+        enc_params = load_emotion2vec_checkpoint(checkpoint, enc_cfg)
 
     results = []
     conditions = []
@@ -84,8 +98,6 @@ def run_noise_grid(
 
         record = {"name": name, "wav_dir": out_root, "feature_dir": None}
         if checkpoint:
-            from ..configs import EncoderConfig
-            from ..models.convert import load_emotion2vec_checkpoint
             from ..models.extract import extract_manifest
 
             # manifest for the noisy tree: same relpaths, new root
@@ -109,10 +121,8 @@ def run_noise_grid(
                     ) as fo:
                         fo.write(fi.read())
 
-            cfg = EncoderConfig()
-            params = load_emotion2vec_checkpoint(checkpoint, cfg)
             feat_dir = os.path.join(features_base or output_base, f"features-{name}")
-            extract_manifest(noisy_manifest, feat_dir, cfg, params)
+            extract_manifest(noisy_manifest, feat_dir, enc_cfg, enc_params)
             record["feature_dir"] = feat_dir
         results.append(record)
     return results

@@ -434,3 +434,71 @@ def test_fused_sensitivity_sweep(corpus, tmp_path, monkeypatch):
     # one prepare_fused_shared (clean + fixed noisy) for the whole sweep
     assert calls["n"] == 2, calls
     assert os.path.exists(os.path.join(out_dir, "sensitivity_WEIGHT_ECDA.json"))
+
+
+def test_parse_injection_cells():
+    """CLI `--multi-noise` cell spec: 'grid' -> None (full grid downstream);
+    type@snr lists -> explicit injection-override cells."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        parse_injection_cells,
+    )
+
+    assert parse_injection_cells("grid") is None
+    cells = parse_injection_cells("babble@10, f16@0")
+    assert cells == {
+        "babble_10db": {"INJECT_NOISE_MODE": "fixed",
+                        "INJECT_NOISE_TYPE": "babble",
+                        "INJECT_SNR_DB": 10.0},
+        "f16_0db": {"INJECT_NOISE_MODE": "fixed",
+                    "INJECT_NOISE_TYPE": "f16",
+                    "INJECT_SNR_DB": 0.0},
+    }
+    with pytest.raises(ValueError):
+        parse_injection_cells("babble@")
+
+
+def test_fused_multi_noise_suite(corpus, tmp_path, monkeypatch):
+    """run_fused_multi_noise_suite: one mechanism averaged over injection
+    cells, startup shared (clean extraction once; one noisy refresh per
+    cell), summary JSON + markdown written."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_fused_multi_noise_suite,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.extract import (
+        FeatureExtractor,
+    )
+
+    calls = {"n": 0}
+    real = FeatureExtractor.extract_clips
+
+    def counting(self, clips):
+        calls["n"] += 1
+        return real(self, clips)
+
+    monkeypatch.setattr(FeatureExtractor, "extract_clips", counting)
+
+    noise_root = _make_noise_root(tmp_path)
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    cells = {
+        "babble_10db": {"INJECT_NOISE_MODE": "fixed",
+                        "INJECT_NOISE_TYPE": "babble",
+                        "INJECT_SNR_DB": 10.0},
+        "f16_10db": {"INJECT_NOISE_MODE": "fixed",
+                     "INJECT_NOISE_TYPE": "f16",
+                     "INJECT_SNR_DB": 10.0},
+    }
+    out = os.path.join(str(tmp_path), "multi.json")
+    results = run_fused_multi_noise_suite(
+        cfg, {"no_dacp": {"USE_DACP": False}}, corpus, TINY_ENC,
+        tiny_enc_params(), cells=cells, noise_root=noise_root, fold=0,
+        output_path=out, prefetch_depth=0,
+    )
+    assert len(results) == 1 and "error" not in results[0], results
+    r = results[0]
+    assert set(r["per_noise"]) == set(cells)
+    assert r["mean_noisy_wa"] is not None
+    # base startup (2 passes) + one noisy refresh per cell
+    assert calls["n"] == 4, calls
+    assert os.path.exists(out)
+    md = open(out.replace(".json", ".md")).read()
+    assert "no_dacp" in md and "FAILED" not in md

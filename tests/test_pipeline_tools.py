@@ -536,3 +536,104 @@ def test_profiler_trace_smoke(tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "tr" / "**" / "*.xplane.pb"), recursive=True)
+
+
+def test_noise_grid_preprocess_with_extraction(tmp_path, rng):
+    """The checkpoint branch of run_noise_grid: the encoder loads ONCE for
+    the whole grid, each condition gets a features-{name} store readable by
+    load_feature_store, and encoder_cfg overrides the default full-size
+    config (so non-default checkpoints work through `cli preprocess
+    --encoder-json`)."""
+    import torch
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_noise_grid,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models import (
+        convert as mc,
+    )
+
+    clean_root = tmp_path / "wavs"
+    os.makedirs(clean_root / "s")
+    rels, names = [], []
+    for i in range(4):
+        rel = f"s/clip{i}.wav"
+        write_wav(str(clean_root / rel), rng.normal(size=3000) * 0.1, 16000)
+        rels.append(rel)
+        names.append(f"Ses0{(i % 5) + 1}F_x_F{i:03d}")
+    mdir = tmp_path / "m"
+    os.makedirs(mdir)
+    with open(mdir / "train.tsv", "w") as f:
+        print(str(clean_root), file=f)
+        for rel in rels:
+            print(f"{rel}\t3000", file=f)
+    with open(mdir / "train.emo", "w") as f:
+        for i, n in enumerate(names):
+            print(f"{n}\t{['ang', 'hap', 'neu', 'sad'][i]}", file=f)
+
+    ckpt = tmp_path / "tiny.pt"
+    torch.save({"model": rand_sd(TINY, seed=0)}, str(ckpt))
+
+    calls = {"n": 0}
+    real = mc.load_emotion2vec_checkpoint
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    import robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp.preprocess as pp
+
+    out = None
+    try:
+        # patch at the loader's definition site (preprocess imports lazily)
+        mc.load_emotion2vec_checkpoint = counting
+        out = run_noise_grid(
+            str(mdir), str(clean_root), str(tmp_path / "noisy"),
+            snrs=[10, 20], checkpoint=str(ckpt), encoder_cfg=TINY,
+        )
+    finally:
+        mc.load_emotion2vec_checkpoint = real
+    assert calls["n"] == 1  # one ckpt load for the whole grid
+    assert [r["name"] for r in out] == ["root1-white-10db", "root1-white-20db"]
+    for r in out:
+        assert r["feature_dir"] is not None
+        store = load_feature_store(r["feature_dir"], LM)
+        assert store.validate() and store.num == 4
+        assert store.dim == 16  # encoder_cfg respected, not the 768 default
+
+
+def test_multi_noise_suite(tmp_path, monkeypatch, rng):
+    """run_multi_noise_suite (the run_granular_ablations*.py main loop):
+    every mechanism averaged over NOISY_DATA_DIR conditions, summary JSON +
+    markdown written."""
+    monkeypatch.chdir(tmp_path)
+    from helpers import make_iemocap_dir as mk
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
+        run_multi_noise_suite,
+    )
+
+    cd, *_ = mk(tmp_path / "clean", n=60, dim=12, seed=0)
+    n1, *_ = mk(tmp_path / "root1-babble-10db", n=60, dim=12, seed=1)
+    n2, *_ = mk(tmp_path / "root1-f16-10db", n=60, dim=12, seed=2)
+    clean = load_feature_store(cd, LM)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=2,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        clean_data_dir=cd, noisy_data_dir=n1, length_buckets=(32,),
+    )
+    suite = {"full_method": {}, "no_entropy_score": {"USE_ENTROPY_IN_SCORE": False}}
+    out = str(tmp_path / "multi.json")
+    results = run_multi_noise_suite(
+        cfg, suite, [n1, n2], fold=0, output_path=out, clean_store=clean,
+    )
+    assert [r["name"] for r in results] == list(suite)
+    for r in results:
+        assert "error" not in r, r
+        assert len(r["per_noise"]) == 2
+        assert r["mean_noisy_wa"] is not None
+        # the mean really is the mean of the per-condition values
+        per = [v["noisy_wa"] for v in r["per_noise"].values()]
+        np.testing.assert_allclose(r["mean_noisy_wa"], np.mean(per))
+    assert os.path.exists(out)
+    md = open(str(tmp_path / "multi.md")).read()
+    assert "no_entropy_score" in md and "FAILED" not in md
