@@ -178,3 +178,33 @@ def test_sensitivity_cli(tmp_path, monkeypatch):
     assert len(results) == 2
     # real sweep points, not swallowed failures
     assert all("error" not in r for r in results), results
+
+
+def test_ablation_multi_noise_cli(tmp_path, monkeypatch):
+    """`cli ablation --multi-noise dir1,dir2` (feature mode): the
+    run_granular_ablations*.py main loop through the CLI — per-experiment
+    noise-condition means land in the summary JSON + markdown."""
+    from helpers import make_iemocap_dir
+
+    monkeypatch.chdir(tmp_path)
+    clean, *_ = make_iemocap_dir(tmp_path / "clean", n=48, dim=8)
+    n1, *_ = make_iemocap_dir(tmp_path / "root1-babble-10db", n=48, dim=8,
+                              seed=5)
+    n2, *_ = make_iemocap_dir(tmp_path / "root1-f16-10db", n=48, dim=8,
+                              seed=6)
+    out = tmp_path / "multi.json"
+    rc = cli([
+        "ablation", "--corpus", "iemocap",
+        "--clean", clean, "--noisy", n1,
+        "--suite", "granular", "--multi-noise", f"{n1},{n2}",
+        "--epochs", "3", "--warmup-epochs", "1",
+        "--output", str(out),
+    ])
+    assert rc == 0
+    results = json.load(open(out))
+    assert len(results) == 7  # the full GRANULAR_ABLATIONS suite
+    for r in results:
+        assert "error" not in r, r
+        assert len(r["per_noise"]) == 2
+    md = open(str(tmp_path / "multi.md")).read()
+    assert "no_entropy_score" in md and "FAILED" not in md
