@@ -255,13 +255,7 @@ def _cmd_dad_fused(args):
     from .configs import dad_preset
     from .train.fused_trainer import FusedCrossDomainTrainer, run_fused_cv
 
-    kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
-    if args.warmup_epochs is not None:
-        kw["warmup_epochs"] = args.warmup_epochs
-        kw["ecda_start_epoch"] = args.warmup_epochs
-    if args.batch_size is not None:
-        kw["batch_size"] = args.batch_size
-    cfg = dad_preset(args.corpus, **kw)
+    cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
 
     enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
 
@@ -332,8 +326,8 @@ def _cmd_serve(args):
 
 
 def _sweep_cfg_kw(args):
-    """DAD-config keyword overrides shared by the ablation/sensitivity
-    commands (mirrors the dad command's handling)."""
+    """DAD-config keyword overrides shared by the fused dad, ablation and
+    sensitivity commands."""
     kw = dict(pretrained_weight=args.weights or "", epochs=args.epochs)
     if getattr(args, "warmup_epochs", None) is not None:
         kw["warmup_epochs"] = args.warmup_epochs
@@ -357,6 +351,11 @@ def _cmd_ablation(args):
         run_multi_noise_suite,
     )
 
+    if args.multi_noise and args.suite == "noise":
+        raise ValueError(
+            "--multi-noise already sweeps noise conditions; pick the "
+            "mechanism suite to average (--suite standard or granular)"
+        )
     if args.from_wav:
         cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
         enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
@@ -442,8 +441,7 @@ def _cmd_sensitivity(args):
         args.corpus,
         clean_data_dir=args.clean,
         noisy_data_dir=args.noisy,
-        pretrained_weight=args.weights or "",
-        epochs=args.epochs,
+        **_sweep_cfg_kw(args),
     )
     run_sensitivity_sweep(
         cfg, args.knob, values=values, fold=args.fold,

@@ -84,25 +84,49 @@ def fused_noise_condition_experiments(
 def parse_injection_cells(spec: str) -> Optional[Dict[str, Dict[str, Any]]]:
     """Parse a fused `--multi-noise` cell spec into injection overrides.
 
-    ``"grid"`` (or any value without ``@``) selects the full reference grid
-    (returns None → `fused_noise_condition_experiments()` downstream); a
-    comma list of ``type@snr`` entries (e.g. ``babble@10,f16@0``) selects an
-    explicit subset — the fused analogue of handing
-    run_granular_ablations*.py a custom noise_conditions list."""
-    if "@" not in spec:
+    The literal ``"grid"`` selects the full reference grid (returns None →
+    `fused_noise_condition_experiments()` downstream); a comma list of
+    ``type@snr`` entries (e.g. ``babble@10,f16@0``) selects an explicit
+    subset — the fused analogue of handing run_granular_ablations*.py a
+    custom noise_conditions list. Anything else (e.g. a feature-mode dir
+    list pasted into fused mode) is an error, NOT the full grid: a typo
+    must never silently launch the maximal sweep. Types are validated here
+    so a bad cell fails before the expensive shared startup."""
+    from ..audio.noise import NOISE_TYPES
+
+    if spec == "grid":
         return None
     cells = {}
     for item in spec.split(","):
-        ntype, _, snr = item.partition("@")
+        ntype, sep, snr = item.partition("@")
         ntype, snr = ntype.strip(), snr.strip()
-        if not ntype or not snr:
-            raise ValueError(f"bad injection cell {item!r}; want type@snr")
-        cells[f"{ntype}_{int(float(snr))}db"] = {
+        if not sep or not ntype or not snr:
+            raise ValueError(
+                f"bad injection cell {item!r}; want type@snr "
+                "(e.g. babble@10) or the literal 'grid'"
+            )
+        if ntype not in NOISE_TYPES:
+            raise ValueError(f"unknown noise type {ntype!r}; "
+                             f"valid: {', '.join(NOISE_TYPES)}")
+        # 'g' keeps fractional SNRs distinct ('7.5db') instead of colliding
+        # truncated names, and matches the grid's '10db' for integers
+        name = f"{ntype}_{format(float(snr), 'g')}db"
+        if name in cells:
+            raise ValueError(f"duplicate injection cell {name}")
+        cells[name] = {
             "INJECT_NOISE_MODE": "fixed",
             "INJECT_NOISE_TYPE": ntype,
             "INJECT_SNR_DB": float(snr),
         }
     return cells
+
+
+def _md_path(path: str) -> str:
+    """Sibling .md path for a results JSON; never the JSON path itself
+    (a bare `--output name` must not get its results clobbered by the
+    markdown summary)."""
+    root, ext = os.path.splitext(path)
+    return (root if ext else path) + ".md"
 
 
 def run_fused_ablation_suite(
@@ -130,13 +154,21 @@ def run_fused_ablation_suite(
         _normalize_fused_cfg,
         prepare_fused_shared,
     )
+    from .runner import FUSED_INJECTION_KEYS
 
     base_fused_cfg = _normalize_fused_cfg(
         base_cfg, encoder_cfg, base_fused_cfg, noise_root
     )
+    # when EVERY experiment overrides the injection (--suite noise), the
+    # base fixed noisy domain would be rebuilt by refresh_noisy_domain
+    # before any trainer consumed it — skip that full-corpus extraction
+    all_inject = bool(experiments) and all(
+        any(k in FUSED_INJECTION_KEYS for k in ov)
+        for ov in experiments.values()
+    )
     shared = prepare_fused_shared(
         base_cfg, manifest_dir, encoder_cfg, enc_params, base_fused_cfg,
-        noise_root, mesh=mesh,
+        noise_root, mesh=mesh, skip_noisy=all_inject,
     )
     results = []
     for name, overrides in experiments.items():
@@ -154,7 +186,7 @@ def run_fused_ablation_suite(
             res = {"name": name, "overrides": dict(overrides), "error": str(e)}
         results.append(res)
     dump_json(results, output_path)
-    _write_markdown_table(results, output_path.replace(".json", ".md"))
+    _write_markdown_table(results, _md_path(output_path))
     return results
 
 
@@ -180,7 +212,7 @@ def run_ablation_suite(
             res = {"name": name, "overrides": dict(overrides), "error": str(e)}
         results.append(res)
     dump_json(results, output_path)
-    _write_markdown_table(results, output_path.replace(".json", ".md"))
+    _write_markdown_table(results, _md_path(output_path))
     return results
 
 
@@ -222,19 +254,30 @@ def run_fused_experiment_on_multiple_noises(
     a prepare_fused_shared dict to reuse across cells (each cell still
     rebuilds its own fixed noisy val/test domain)."""
     cells = cells if cells is not None else fused_noise_condition_experiments()
-    was, wf1s, per_noise = [], [], {}
+    per_noise = {}
     for cell_name, inj in cells.items():
         ov = dict(overrides)
         ov.update(inj)
-        res = run_single_fused_experiment(
-            base_cfg, f"{name}_{cell_name}", ov, manifest_dir, encoder_cfg,
-            enc_params, base_fused_cfg=base_fused_cfg, noise_root=noise_root,
-            fold=fold, shared=shared, **kw,
-        )
-        if "noisy_wa" in res:
-            was.append(res["noisy_wa"])
-            wf1s.append(res["noisy_wf1"])
+        try:
+            res = run_single_fused_experiment(
+                base_cfg, f"{name}_{cell_name}", ov, manifest_dir,
+                encoder_cfg, enc_params, base_fused_cfg=base_fused_cfg,
+                noise_root=noise_root, fold=fold, shared=shared, **kw,
+            )
+        except Exception as e:
+            # per-condition containment (reference
+            # run_granular_ablations.py:99-105): one bad cell must not
+            # discard the mechanism's other completed conditions
+            logger.error("fused cell %s/%s failed: %s", name, cell_name, e,
+                         exc_info=True)
+            res = {"name": f"{name}_{cell_name}", "error": str(e)}
         per_noise[cell_name] = res
+    return _aggregate_multi_noise(name, per_noise)
+
+
+def _aggregate_multi_noise(name: str, per_noise: Dict[str, Dict[str, Any]]):
+    was = [r["noisy_wa"] for r in per_noise.values() if "noisy_wa" in r]
+    wf1s = [r["noisy_wf1"] for r in per_noise.values() if "noisy_wf1" in r]
     return {
         "name": name,
         "mean_noisy_wa": float(np.mean(was)) if was else None,
@@ -287,7 +330,7 @@ def run_multi_noise_suite(
             res = {"name": name, "overrides": dict(overrides), "error": str(e)}
         results.append(res)
     dump_json(results, output_path)
-    _write_multi_noise_markdown(results, output_path.replace(".json", ".md"))
+    _write_multi_noise_markdown(results, _md_path(output_path))
     return results
 
 
@@ -305,9 +348,25 @@ def run_fused_multi_noise_suite(
     **kw,
 ) -> List[Dict[str, Any]]:
     """run_multi_noise_suite over the FUSED mode: cells default to the full
-    reference noise grid as on-device injection swaps; the wav decode and
-    the clean extraction are shared across every (mechanism x cell) run."""
-    from ..train.fused_trainer import _normalize_fused_cfg, prepare_fused_shared
+    reference noise grid as on-device injection swaps.
+
+    Loop order is cells OUTER, mechanisms inner: each cell's fixed noisy
+    val/test domain is injected + extracted ONCE and shared across every
+    mechanism (C extraction passes instead of M*C — extraction is the
+    dominant harness cost on a tunnel-attached chip), while memory stays
+    bounded at one refreshed domain. The base startup skips its own noisy
+    domain entirely (every cell overrides the injection, so it would never
+    be consumed). Mechanism overrides must be pure DAD knobs; a cell's
+    injection always wins (the same precedence as the merge order in
+    run_fused_experiment_on_multiple_noises)."""
+    from dataclasses import replace
+
+    from ..train.fused_trainer import (
+        _normalize_fused_cfg,
+        prepare_fused_shared,
+        refresh_noisy_domain,
+    )
+    from .runner import split_fused_overrides
 
     cells = cells if cells is not None else fused_noise_condition_experiments()
     base_fused_cfg = _normalize_fused_cfg(
@@ -315,23 +374,49 @@ def run_fused_multi_noise_suite(
     )
     shared = prepare_fused_shared(
         base_cfg, manifest_dir, encoder_cfg, enc_params, base_fused_cfg,
-        noise_root, mesh=kw.get("mesh"),
+        noise_root, mesh=kw.get("mesh"), skip_noisy=True,
     )
-    results = []
-    for name, overrides in experiments.items():
+    per = {name: {} for name in experiments}
+    for cell_name, inj in cells.items():
         try:
-            res = run_fused_experiment_on_multiple_noises(
-                base_cfg, name, overrides, manifest_dir, encoder_cfg,
-                enc_params, cells=cells, base_fused_cfg=base_fused_cfg,
-                noise_root=noise_root, fold=fold, shared=shared, **kw,
+            _, inj_repl = split_fused_overrides(inj)
+            cell_fused = _normalize_fused_cfg(
+                base_cfg, encoder_cfg, replace(base_fused_cfg, **inj_repl),
+                noise_root,
             )
+            cell_shared = refresh_noisy_domain(shared, cell_fused, noise_root)
+            # keep any bank loaded by the first refresh for later cells
+            shared["noise_clips"] = cell_shared["noise_clips"]
         except Exception as e:
-            logger.error("fused multi-noise experiment %s failed: %s",
-                         name, e, exc_info=True)
-            res = {"name": name, "overrides": dict(overrides), "error": str(e)}
-        results.append(res)
+            logger.error("multi-noise cell %s failed to build: %s",
+                         cell_name, e, exc_info=True)
+            for name in experiments:
+                per[name][cell_name] = {"name": f"{name}_{cell_name}",
+                                        "error": str(e)}
+            continue
+        for name, overrides in experiments.items():
+            dad_ov, mech_inj = split_fused_overrides(overrides)
+            if mech_inj:
+                logger.warning(
+                    "experiment %s carries injection overrides %s — "
+                    "ignored: the multi-noise cell's injection wins",
+                    name, sorted(mech_inj),
+                )
+            try:
+                res = run_single_fused_experiment(
+                    base_cfg, f"{name}_{cell_name}", dad_ov, manifest_dir,
+                    encoder_cfg, enc_params, base_fused_cfg=cell_fused,
+                    noise_root=noise_root, fold=fold, shared=cell_shared,
+                    **kw,
+                )
+            except Exception as e:
+                logger.error("fused cell %s/%s failed: %s", name, cell_name,
+                             e, exc_info=True)
+                res = {"name": f"{name}_{cell_name}", "error": str(e)}
+            per[name][cell_name] = res
+    results = [_aggregate_multi_noise(name, per[name]) for name in experiments]
     dump_json(results, output_path)
-    _write_multi_noise_markdown(results, output_path.replace(".json", ".md"))
+    _write_multi_noise_markdown(results, _md_path(output_path))
     return results
 
 
@@ -345,18 +430,17 @@ def run_experiment_on_multiple_noises(
 ) -> Dict[str, Any]:
     """Averages one mechanism-ablation across noise conditions
     (run_granular_ablations.py:73-120)."""
-    was, wf1s, per_noise = [], [], {}
+    per_noise = {}
     for nd in noisy_dirs:
         ov = dict(overrides)
         ov["NOISY_DATA_DIR"] = nd
-        res = run_single_experiment(base_cfg, f"{name}_{os.path.basename(nd)}", ov, fold, **kw)
-        if "noisy_wa" in res:
-            was.append(res["noisy_wa"])
-            wf1s.append(res["noisy_wf1"])
-        per_noise[os.path.basename(nd)] = res
-    return {
-        "name": name,
-        "mean_noisy_wa": float(np.mean(was)) if was else None,
-        "mean_noisy_wf1": float(np.mean(wf1s)) if wf1s else None,
-        "per_noise": per_noise,
-    }
+        cell = os.path.basename(nd)
+        try:
+            res = run_single_experiment(base_cfg, f"{name}_{cell}", ov,
+                                        fold, **kw)
+        except Exception as e:
+            # per-condition containment (run_granular_ablations.py:99-105)
+            logger.error("cell %s/%s failed: %s", name, cell, e)
+            res = {"name": f"{name}_{cell}", "error": str(e)}
+        per_noise[cell] = res
+    return _aggregate_multi_noise(name, per_noise)

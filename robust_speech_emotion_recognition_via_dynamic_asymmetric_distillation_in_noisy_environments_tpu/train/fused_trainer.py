@@ -150,12 +150,19 @@ def prepare_fused_shared(
     val_injection_seed: int = 42,
     extract_batch_size: int = 16,
     mesh=None,
+    skip_noisy: bool = False,
 ) -> Dict:
     """The fold-INDEPENDENT startup artifacts of fused training: wav store,
     placed extractor, one clean extraction pass, the fixed noisy val/test
     domain (injection + extraction), and the raw noise clips. run_fused_cv
     computes this once and shares it across all folds (the per-fold cost on
-    a tunnel-attached chip is dominated by these two extraction passes)."""
+    a tunnel-attached chip is dominated by these two extraction passes).
+
+    ``skip_noisy``: skip the fixed-noisy-domain injection + extraction pass
+    (``noisy_store`` is None in the result). For harnesses whose every
+    experiment overrides the injection — the multi-noise/noise-grid suites —
+    the base domain would be rebuilt by `refresh_noisy_domain` before any
+    trainer sees it, so building it here is a wasted full-corpus extraction."""
     wav_store = load_wav_store(manifest_dir, cfg.label_map)
     if wav_store.labels is None:
         raise ValueError(f"{manifest_dir} has no label sidecar")
@@ -174,17 +181,21 @@ def prepare_fused_shared(
         if fused_cfg.inject_noise_bank_mode is not None
         else None
     )
-    logger.info("fused trainer: building fixed noisy val/test domain")
-    noisy_wavs = inject_fixed(wav_store, fused_cfg, noise_clips,
-                              val_injection_seed)
-    noisy_feats = extractor.extract_clips(noisy_wavs)
+    noisy_store = None
+    if not skip_noisy:
+        logger.info("fused trainer: building fixed noisy val/test domain")
+        noisy_wavs = inject_fixed(wav_store, fused_cfg, noise_clips,
+                                  val_injection_seed)
+        noisy_feats = extractor.extract_clips(noisy_wavs)
+        noisy_store = store_from_clips(noisy_feats, wav_store,
+                                       encoder_cfg.embed_dim)
 
     dim = encoder_cfg.embed_dim
     return {
         "wav_store": wav_store,
         "extractor": extractor,
         "clean_store": store_from_clips(clean_feats, wav_store, dim),
-        "noisy_store": store_from_clips(noisy_feats, wav_store, dim),
+        "noisy_store": noisy_store,
         "noise_clips": noise_clips,
     }
 
@@ -303,6 +314,11 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self.extractor = shared["extractor"]
         clean_store = shared["clean_store"]
         noisy_store = shared["noisy_store"]
+        if noisy_store is None:
+            raise ValueError(
+                "shared startup lacks the fixed noisy domain (built with "
+                "skip_noisy=True) — refresh_noisy_domain() it first"
+            )
 
         cfg = replace(
             cfg,

@@ -208,3 +208,28 @@ def test_ablation_multi_noise_cli(tmp_path, monkeypatch):
         assert len(r["per_noise"]) == 2
     md = open(str(tmp_path / "multi.md")).read()
     assert "no_entropy_score" in md and "FAILED" not in md
+
+
+def test_ablation_rejects_suite_noise_with_multi_noise(capsys):
+    """Contradictory flags error out (argparse exit 2) instead of silently
+    remapping the suite to GRANULAR_ABLATIONS."""
+    with pytest.raises(SystemExit) as ei:
+        cli([
+            "ablation", "--corpus", "iemocap",
+            "--clean", "c", "--noisy", "n",
+            "--suite", "noise", "--multi-noise", "d1,d2",
+        ])
+    assert ei.value.code == 2
+    assert "multi-noise already sweeps" in capsys.readouterr().err
+
+
+def test_md_path_never_clobbers_results():
+    """The markdown summary path must differ from the results JSON path
+    even when --output has no .json suffix."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp.ablation import (
+        _md_path,
+    )
+
+    assert _md_path("results.json") == "results.md"
+    assert _md_path("out/grid_results") == "out/grid_results.md"
+    assert _md_path("a.b/results") == "a.b/results.md"

@@ -453,14 +453,26 @@ def test_parse_injection_cells():
                     "INJECT_NOISE_TYPE": "f16",
                     "INJECT_SNR_DB": 0.0},
     }
+    # fractional SNRs keep distinct names (no int truncation collisions)
+    assert "volvo_7.5db" in parse_injection_cells("volvo@7.5")
     with pytest.raises(ValueError):
         parse_injection_cells("babble@")
+    # a non-'grid' spec without @ (e.g. a pasted dir list) must error, not
+    # silently launch the full 16-cell grid
+    with pytest.raises(ValueError):
+        parse_injection_cells("root1-babble-10db,root1-f16-10db")
+    with pytest.raises(ValueError):  # unknown type fails pre-startup
+        parse_injection_cells("bable@10")
+    with pytest.raises(ValueError):  # duplicate cell name
+        parse_injection_cells("babble@10,babble@10.0")
 
 
 def test_fused_multi_noise_suite(corpus, tmp_path, monkeypatch):
-    """run_fused_multi_noise_suite: one mechanism averaged over injection
-    cells, startup shared (clean extraction once; one noisy refresh per
-    cell), summary JSON + markdown written."""
+    """run_fused_multi_noise_suite: mechanisms averaged over injection
+    cells with cell-outer amortization — ONE clean extraction at startup
+    (the base noisy domain is skipped: every cell overrides it) plus ONE
+    noisy refresh per cell shared across all mechanisms; summary JSON +
+    markdown written."""
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.exp import (
         run_fused_multi_noise_suite,
     )
@@ -488,17 +500,23 @@ def test_fused_multi_noise_suite(corpus, tmp_path, monkeypatch):
                      "INJECT_SNR_DB": 10.0},
     }
     out = os.path.join(str(tmp_path), "multi.json")
+    suite = {"no_dacp": {"USE_DACP": False},
+             "no_repulsion": {"ECDA_REPULSION_WEIGHT_DELTA": 0.0}}
     results = run_fused_multi_noise_suite(
-        cfg, {"no_dacp": {"USE_DACP": False}}, corpus, TINY_ENC,
+        cfg, suite, corpus, TINY_ENC,
         tiny_enc_params(), cells=cells, noise_root=noise_root, fold=0,
         output_path=out, prefetch_depth=0,
     )
-    assert len(results) == 1 and "error" not in results[0], results
-    r = results[0]
-    assert set(r["per_noise"]) == set(cells)
-    assert r["mean_noisy_wa"] is not None
-    # base startup (2 passes) + one noisy refresh per cell
-    assert calls["n"] == 4, calls
+    assert [r["name"] for r in results] == list(suite)
+    for r in results:
+        assert set(r["per_noise"]) == set(cells)
+        assert r["mean_noisy_wa"] is not None
+        for cell_res in r["per_noise"].values():
+            assert "error" not in cell_res, cell_res
+    # clean startup pass + ONE noisy refresh per cell, shared across BOTH
+    # mechanisms (cells-outer loop; the skipped base noisy domain and the
+    # per-mechanism re-refreshes would each add passes here)
+    assert calls["n"] == 3, calls
     assert os.path.exists(out)
     md = open(out.replace(".json", ".md")).read()
-    assert "no_dacp" in md and "FAILED" not in md
+    assert "no_dacp" in md and "no_repulsion" in md and "FAILED" not in md
