@@ -113,7 +113,15 @@ def firewall_relationship(log: List[dict], hist: Optional[dict], warmup_epochs: 
 
 
 def confirmation_patterns(log: List[dict]) -> Dict:
-    """Flip stats per certainty-score bin (reference :232-299)."""
+    """Flip stats per certainty-score bin (reference :232-299).
+
+    NB reference-exact semantics, quirks included: entries are binned
+    individually (pd.cut analogue), so a sample's bin pivot can contain
+    non-adjacent epochs and a "flip" is counted between them even if the
+    actual label changes happened while the sample sat in OTHER bins, and
+    flip_rate divides by the bin's epoch-union size regardless of how many
+    epochs each sample spent there (analyze_confirmation_bias.py:245-265
+    does exactly this). Kept so our numbers match the reference tool's."""
     by_bin: Dict[str, List[dict]] = defaultdict(list)
     for e in log:
         s = e["certainty_score"]

@@ -69,12 +69,18 @@ def mechanisms_correlation(
     std_thr = thr.std(axis=1)
 
     epochs = _epochs_for(len(noisy), warmup, interval)
-    idx, dis = [], []
+    idx, dis, eps = [], [], []
     for e, d in zip(epochs, noisy):
-        k = (e - warmup - 1) // interval
+        # thresholds and disagreement are BOTH appended once per
+        # post-warmup epoch (dad_trainer._epoch_end_dacp / validate), so
+        # the series are index-aligned: point i of each is epoch
+        # warmup+i+1. No interval division — validations run every epoch
+        # post-warmup (the dead-interval quirk).
+        k = e - warmup - 1
         if 0 <= k < len(firewall):
             idx.append(k)
             dis.append(d)
+            eps.append(e)
     if len(idx) < 3:
         return {}
     dis = np.asarray(dis)
@@ -91,7 +97,7 @@ def mechanisms_correlation(
         "mean_thr": mean_thr[idx].tolist(),
         "std_thr": std_thr[idx].tolist(),
         "disagreement": dis.tolist(),
-        "epochs": [epochs[i] for i in range(len(idx))],
+        "epochs": eps,
     }
     return out
 

@@ -23,14 +23,20 @@ from .common import get_pyplot, savefig
 
 
 def _embed_all(head: DADHead, params, it: PaddedBatchIterator):
+    # params are a jit ARGUMENT committed to the device once — closing over
+    # a host tree would re-upload it per compiled bucket over the tunnel
+    # (CLAUDE.md device rule; eval/inference.py does the same)
+    params = jax.device_put(params)
+
     @jax.jit
-    def emb(feats, mask):
-        _logits, e = head.apply(params, feats, mask, deterministic=True)
+    def emb(p, feats, mask):
+        _logits, e = head.apply(p, feats, mask, deterministic=True)
         return e
 
     X, y = [], []
     for b in it:
-        e = np.asarray(emb(jnp.asarray(b.feats), jnp.asarray(b.padding_mask)))
+        e = np.asarray(emb(params, jnp.asarray(b.feats),
+                           jnp.asarray(b.padding_mask)))
         for i in range(len(e)):
             if b.row_valid[i] and b.labels[i] >= 0:
                 X.append(e[i])

@@ -81,6 +81,11 @@ class CrossDomainInference:
         if split_policy == "all":
             subset = store
         else:
+            if store.groups is None:
+                raise ValueError(
+                    f"{self.test_data_dir} has no speaker/session sidecar, "
+                    "so a fold split cannot be derived — use --split all"
+                )
             if self.ds_type == "iemocap":
                 corpus = "iemocap"
             else:

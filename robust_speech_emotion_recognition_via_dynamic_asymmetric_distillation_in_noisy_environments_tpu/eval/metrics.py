@@ -19,6 +19,10 @@ import numpy as np
 def confusion_matrix(y_true, y_pred, num_classes: int) -> np.ndarray:
     y_true = np.asarray(y_true, dtype=np.int64)
     y_pred = np.asarray(y_pred, dtype=np.int64)
+    if len(y_true) and (y_true.min() < 0 or y_pred.min() < 0):
+        # sklearn raises too; negative ids (e.g. the -1 "unlabeled"
+        # sentinel) would otherwise wrap into the LAST class row silently
+        raise ValueError("negative label ids — filter unlabeled rows first")
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
     np.add.at(cm, (y_true, y_pred), 1)
     return cm

@@ -111,15 +111,19 @@ class EmotionPredictor:
         return self.ssrl.teacher if self.use_teacher else self.ssrl.student
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
-        """Pre-compiles the head program for each frame bucket (and the
-        extractor's smallest bucket when present)."""
+        """Pre-compiles the head program for each frame bucket and the
+        wav->logits program for EVERY extractor bucket — a bucket skipped
+        here would compile on the single dispatcher thread at first use,
+        stalling every coalesced client behind a multi-second remote
+        compile."""
         for T in buckets or self.frame_buckets:
             feats = jnp.zeros((self.batch_size, T, self.cfg.input_dim))
             mask = jnp.ones((self.batch_size, T), bool)
             preds, _ = self._eval(self._params, feats, mask)
             np.asarray(preds)  # host materialization = reliable sync here
         if self.extractor is not None:
-            self.predict_wavs([np.zeros(self.extractor.buckets[0], np.float32)])
+            for n in self.extractor.buckets:
+                self.predict_wavs([np.zeros(n, np.float32)])
         # warmup traffic must not skew the /healthz serving counters
         self.requests_served = 0
         self.batches_run = 0
@@ -239,12 +243,16 @@ class PredictionServer:
         max_wait_ms: float = 5.0,
         max_body_bytes: int = 64 << 20,
         max_wav_samples: int = 480_000,  # top extraction bucket (30 s)
-        max_feature_frames: int = 4096,
+        max_feature_frames: Optional[int] = None,
     ):
         """``max_wav_samples``/``max_feature_frames`` cap request length at
         ingress: anything longer would compile a fresh program past the top
         bucket ON THE SINGLE DISPATCHER THREAD, stalling every coalesced
-        client behind one oversized clip."""
+        client behind one oversized clip. ``max_feature_frames`` defaults
+        to the predictor's top (warmed) frame bucket for exactly that
+        reason."""
+        if max_feature_frames is None:
+            max_feature_frames = max(predictor.frame_buckets)
         self.predictor = predictor
         self.max_batch = max_batch or predictor.batch_size
         self.max_wait_ms = max_wait_ms
@@ -418,7 +426,10 @@ class PredictionServer:
                         [it.payload for it in items]
                     )
                 for it, out in zip(items, outs):
-                    it.future.set_result(out)
+                    # a future already failed (e.g. by shutdown's drain)
+                    # must not abort delivery for the rest of the group
+                    if not it.future.done():
+                        it.future.set_result(out)
             except Exception as e:  # noqa: BLE001 — fail the whole group
                 for it in items:
                     if not it.future.done():
@@ -432,6 +443,7 @@ class PredictionServer:
 
     def start(self) -> None:
         self._start_dispatcher()
+        self._serving = True
         self._server_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
         )
@@ -439,12 +451,17 @@ class PredictionServer:
 
     def serve_forever(self) -> None:
         self._start_dispatcher()
+        self._serving = True
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:
         # stop accepting first: a handler that enqueues after the drain
-        # would otherwise hang its client for the full future timeout
-        self._httpd.shutdown()
+        # would otherwise hang its client for the full future timeout.
+        # BaseServer.shutdown() blocks on an event only serve_forever sets
+        # on exit — calling it before the serve loop ever started (e.g. a
+        # warmup failure's finally block) would deadlock forever
+        if getattr(self, "_serving", False):
+            self._httpd.shutdown()
         self._stop.set()
         # fail anything still queued so blocked handler threads return
         # immediately instead of waiting out their client timeout; drain

@@ -637,3 +637,25 @@ def test_multi_noise_suite(tmp_path, monkeypatch, rng):
     assert os.path.exists(out)
     md = open(str(tmp_path / "multi.md")).read()
     assert "no_entropy_score" in md and "FAILED" not in md
+
+
+def test_mechanism_correlation_alignment(tmp_path):
+    """Disagreement point i pairs with threshold row i (both are recorded
+    once per post-warmup epoch): a perfectly correlated pair of series must
+    come out with r ~ 1, which interval-quantized alignment destroys."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.analysis.disagreement import (
+        mechanisms_correlation,
+    )
+
+    n = 20
+    thr = [[0.4 + 0.01 * i] * 4 for i in range(n)]
+    noisy = np.array([0.3 - 0.01 * i for i in range(n)])
+    out = mechanisms_correlation(
+        noisy, {"dacp_ema_thresholds": thr}, warmup=5, interval=5
+    )
+    assert out["epochs_aligned"] == n
+    r = out["mean_threshold_vs_disagreement"]["r"]
+    np.testing.assert_allclose(r, -1.0, atol=1e-9)
+    np.testing.assert_allclose(out["_aligned"]["mean_thr"],
+                               [0.4 + 0.01 * i for i in range(n)])
+    assert out["_aligned"]["epochs"] == [6 + i for i in range(n)]

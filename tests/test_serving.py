@@ -320,3 +320,25 @@ def test_http_concurrency_stress(predictor):
         assert ran < 96  # coalescing happened (96 = no batching at all)
     finally:
         server.shutdown()
+
+
+def test_warmup_compiles_every_extractor_bucket(predictor, monkeypatch):
+    """warmup() must touch EVERY wav bucket — a bucket skipped at warmup
+    would compile on the single dispatcher thread at first use — and the
+    server's ingress frame cap must not admit frames past the top warmed
+    head bucket."""
+    calls = []
+    monkeypatch.setattr(
+        EmotionPredictor, "predict_wavs",
+        lambda self, wavs: calls.append(len(wavs[0])) or [],
+    )
+    p = EmotionPredictor(
+        predictor.cfg, predictor.ssrl, batch_size=4, frame_buckets=(8, 32),
+    )
+    p.extractor = type("E", (), {"buckets": (2000, 4000, 8000)})()
+    p.warmup()
+    assert calls == [2000, 4000, 8000]
+
+    server = PredictionServer(predictor, port=0)
+    assert server.max_feature_frames == max(predictor.frame_buckets)
+    server.shutdown()  # never started serve loop: must not deadlock
