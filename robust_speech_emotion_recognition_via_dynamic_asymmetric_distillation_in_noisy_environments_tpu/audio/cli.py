@@ -130,6 +130,10 @@ def inject(args: argparse.Namespace) -> int:
     if args.verify:
         failed_set = set(failed)
         done = [r for r in relpaths if r not in failed_set]
+        if not done:
+            # an empty sample would "pass" vacuously with mean SNR nan
+            logger.error("verification FAILED: no files were written")
+            return 2
         ok, results = verify_noise_injection(
             args.input_root,
             args.output_root,

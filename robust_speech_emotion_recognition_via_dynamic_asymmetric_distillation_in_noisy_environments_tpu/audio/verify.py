@@ -76,6 +76,13 @@ def verify_noise_injection(
     for rel in relpaths:
         clean, _ = read_wav(os.path.join(clean_root, rel))
         noisy, _ = read_wav(os.path.join(noisy_root, rel))
+        # the injector mono-mixes multi-channel input before mixing, so a
+        # stereo CLEAN source must be mono-mixed the same way or the
+        # noisy-minus-clean reconstruction is a shape mismatch
+        if clean.ndim == 2:
+            clean = clean.mean(axis=1)
+        if noisy.ndim == 2:
+            noisy = noisy.mean(axis=1)
         snr = estimate_snr(clean, noisy)
         if abs(snr - target_snr_db) > tolerance_db:
             # the naive estimate is biased for peak-normalized mixes; re-judge

@@ -25,7 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..audio.wavio import read_wav
+from ..audio.wavio import read_mono
 from ..train.d2v_pretrain import WavCropDataset  # no cycle: train/ never imports this module
 from ..utils import get_logger
 from .manifests import read_manifest
@@ -53,15 +53,7 @@ def pack_manifest(
     with open(bin_path, "wb") as out:
         for rel, frames in files:
             path = os.path.join(root, rel)
-            audio, sr = read_wav(path)
-            if audio.ndim == 2:
-                audio = audio.mean(axis=1)
-            if sr != sample_rate:
-                raise ValueError(
-                    f"{path}: sample rate {sr} != {sample_rate} "
-                    "(run the audio format fixer first)"
-                )
-            clip = np.ascontiguousarray(audio, np.float32)
+            clip = np.ascontiguousarray(read_mono(path, sample_rate))
             out.write(clip.tobytes())
             lengths.append(len(clip))
             manifest_frames.append(int(frames))

@@ -117,18 +117,26 @@ def fix_manifest_paths(
     line and drops entries whose files no longer resolve."""
     root, files = read_manifest(manifest_dir, split)
     kept = []
+    by_basename: Optional[Dict[str, str]] = None
     for rel, frames in files:
         cand = os.path.join(new_root, rel)
         if os.path.exists(cand):
             kept.append((rel, frames))
         else:
-            # try flat->hierarchical repair: search by basename
-            base = os.path.basename(rel)
-            hit = None
-            for dirpath, _d, fnames in os.walk(new_root):
-                if base in fnames:
-                    hit = os.path.relpath(os.path.join(dirpath, base), new_root)
-                    break
+            # flat->hierarchical repair by basename; index the tree ONCE
+            # on first miss (a reshaped corpus misses on most entries, and
+            # a full walk per entry is O(entries x tree))
+            if by_basename is None:
+                by_basename = {}
+                for dirpath, _d, fnames in os.walk(new_root):
+                    for fname in fnames:
+                        by_basename.setdefault(
+                            fname,
+                            os.path.relpath(
+                                os.path.join(dirpath, fname), new_root
+                            ),
+                        )
+            hit = by_basename.get(os.path.basename(rel))
             if hit is not None:
                 kept.append((hit.replace("\\", "/"), frames))
             else:

@@ -188,6 +188,14 @@ def load_feature_store(
     raw_labels, utt_names, raw_groups = read_label_sidecars(
         feature_dir, split
     )
+    for name, seq in (("labels", raw_labels), ("speakers", raw_groups)):
+        if seq is not None and len(seq) != len(raw_lengths):
+            # a short sidecar would misalign every later clip's label or
+            # speaker (breaking fold isolation) with no error
+            raise ValueError(
+                f"{feature_dir}: {len(seq)} {name} != "
+                f"{len(raw_lengths)} clips"
+            )
 
     sizes, offsets = [], []
     keep: List[int] = []

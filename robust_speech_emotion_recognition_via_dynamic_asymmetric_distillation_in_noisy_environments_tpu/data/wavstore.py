@@ -90,7 +90,7 @@ def load_wav_store(
     is replaced by one file read (sidecars are packed alongside)."""
     import os
 
-    from ..audio.wavio import read_wav
+    from ..audio.wavio import read_mono
     from .binarized import is_packed_dir
 
     raw_labels, utt_names, raw_groups = read_label_sidecars(
@@ -115,15 +115,9 @@ def load_wav_store(
         n_clips = len(sizes)
     else:
         root, files = read_manifest(manifest_dir, split)
-        clips = []
-        for rel, _frames in files:
-            wav, sr = read_wav(os.path.join(root, rel))
-            if wav.ndim == 2:
-                wav = np.mean(wav, axis=1)
-            if sr != 16000:
-                raise ValueError(f"{rel}: expected 16 kHz, got {sr} "
-                                 "(run fix-format first)")
-            clips.append(wav.astype(np.float32))
+        clips = [
+            read_mono(os.path.join(root, rel)) for rel, _frames in files
+        ]
         sizes = np.asarray([len(c) for c in clips], np.int64)
         samples = (
             np.concatenate(clips) if clips else np.zeros(0, np.float32)
@@ -132,6 +126,12 @@ def load_wav_store(
     if raw_labels is not None and len(raw_labels) != n_clips:
         raise ValueError(
             f"{manifest_dir}: {len(raw_labels)} labels != {n_clips} clips"
+        )
+    if raw_groups is not None and len(raw_groups) != n_clips:
+        # a short .spk would silently shift every later clip's speaker,
+        # breaking fold isolation without any error
+        raise ValueError(
+            f"{manifest_dir}: {len(raw_groups)} speakers != {n_clips} clips"
         )
 
     offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)

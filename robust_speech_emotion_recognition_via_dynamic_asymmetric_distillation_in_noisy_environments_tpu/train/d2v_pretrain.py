@@ -25,7 +25,7 @@ import numpy as np
 from ..configs import D2vPretrainConfig, EncoderConfig
 from ..data.manifests import read_manifest
 from ..data.prefetch import prefetch
-from ..audio.wavio import read_wav
+from ..audio.wavio import read_mono
 from ..utils import dump_json, get_logger
 
 logger = get_logger(__name__)
@@ -87,15 +87,7 @@ class WavCropDataset:
         rate. Subclasses (data/binarized.py) override this to read from a
         packed store instead of parsing wav files."""
         path, _frames = entry
-        audio, sr = read_wav(path)
-        if audio.ndim == 2:
-            audio = audio.mean(axis=1)
-        if sr != self.pcfg.sample_rate:
-            raise ValueError(
-                f"{path}: sample rate {sr} != {self.pcfg.sample_rate} "
-                "(run the audio format fixer first)"
-            )
-        return audio.astype(np.float32)
+        return read_mono(path, self.pcfg.sample_rate)
 
     def files_for_epoch(self, epoch: int) -> List[Tuple[str, int]]:
         files: List[Tuple[str, int]] = []

@@ -27,7 +27,6 @@ from ..eval.metrics import (
     accuracy,
     balanced_accuracy,
     classification_report_text,
-    confusion_matrix,
     f1_scores,
 )
 from ..models.convert import flax_pretrain_head_to_torch, save_torch_file
@@ -242,7 +241,10 @@ def train_with_early_stopping(
     the aggregate summary JSONs."""
     if store is None:
         store = load_feature_store(cfg.feat_path, cfg.label_map)
-    assert store.validate()
+    if not store.validate():
+        # hard gate (validate_emotion2vec_data analogue) — an assert would
+        # vanish under python -O
+        raise ValueError("feature store failed integrity validation")
     if store.dim != cfg.input_dim:
         from dataclasses import replace
 
@@ -302,9 +304,11 @@ def train_with_early_stopping(
         "fold_test_accuracies": fold_results,
         "fold_test_weighted_accuracies": fold_weighted,
         "fold_test_f1_scores": fold_f1,
-        "best_fold_accuracy": int(np.argmax(fold_results)) + 1,
+        # report ACTUAL 1-based fold numbers (matching the checkpoint
+        # names), not positions in a possibly-subset folds list
+        "best_fold_accuracy": folds[int(np.argmax(fold_results))] + 1,
         "best_test_accuracy": float(np.max(fold_results)),
-        "worst_fold_accuracy": int(np.argmin(fold_results)) + 1,
+        "worst_fold_accuracy": folds[int(np.argmin(fold_results))] + 1,
         "worst_test_accuracy": float(np.min(fold_results)),
     }
     dump_json(summary, os.path.join(save_dir, "test_results.json"))

@@ -183,3 +183,23 @@ def test_alias_import():
     )
 
     assert dd is canonical_data
+
+
+def test_short_sidecars_rejected(tmp_path, rng):
+    """A labels/speakers sidecar shorter than the clip count must fail
+    loudly — a silent shift would break speaker-isolated folds."""
+    from helpers import make_iemocap_dir as mk
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (
+        load_feature_store,
+    )
+
+    import os
+
+    d, *_ = mk(tmp_path / "s", n=8, dim=4, seed=0)
+    # truncate the .emo sidecar by one line
+    emo = os.path.join(d, "train.emo")
+    lines = open(emo).read().splitlines()
+    with open(emo, "w") as f:
+        f.write("\n".join(lines[:-1]) + "\n")
+    with pytest.raises(ValueError, match="labels"):
+        load_feature_store(d, {"ang": 0, "hap": 1, "neu": 2, "sad": 3})
