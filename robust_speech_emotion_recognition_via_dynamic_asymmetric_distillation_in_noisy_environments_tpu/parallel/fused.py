@@ -148,19 +148,19 @@ def inject_noise(cfg: FusedConfig, noisy_wav, wav_mask, key, noise_bank=None):
     return batch_add_white_noise(noisy_wav, ~wav_mask, snr, key)
 
 
-def make_fused_extract_train_step(
+def build_fused_step(
     encoder: Emotion2vecEncoder,
     head: DADHead,
     tx,
     cfg: FusedConfig,
-    mesh: Optional[Mesh] = None,
 ):
-    """Returns step(enc_params, state, clean: FusedBatch, noisy: FusedBatch,
-    scalars, anchors, key) -> (state', metrics).
+    """The UNJITTED fused step: step(enc_params, state, clean, noisy,
+    scalars, anchors, key[, noise_bank]) -> (state', metrics).
 
-    The encoder is frozen (features are precomputed in the reference
-    pipeline); only head params get gradients. With a mesh, encoder params are
-    tp-sharded and batches dp-sharded.
+    ``make_fused_extract_train_step`` jits it directly (host-streamed
+    batches); ``resident.make_resident_fused_step`` prepends on-device
+    batch gathers from an HBM-resident corpus and jits the composition —
+    both run the SAME loss/update graph.
     """
     dad = cfg.dad
     smoothing = dad.label_smoothing_factor if dad.use_label_smoothing else 0.0
@@ -287,6 +287,25 @@ def make_fused_extract_train_step(
             ),
             metrics,
         )
+
+    return step
+
+
+def make_fused_extract_train_step(
+    encoder: Emotion2vecEncoder,
+    head: DADHead,
+    tx,
+    cfg: FusedConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Returns jitted step(enc_params, state, clean: FusedBatch,
+    noisy: FusedBatch, scalars, anchors, key) -> (state', metrics).
+
+    The encoder is frozen (features are precomputed in the reference
+    pipeline); only head params get gradients. With a mesh, encoder params are
+    tp-sharded and batches dp-sharded.
+    """
+    step = build_fused_step(encoder, head, tx, cfg)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(1,))

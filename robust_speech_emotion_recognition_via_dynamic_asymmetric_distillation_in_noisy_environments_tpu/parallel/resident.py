@@ -1,0 +1,249 @@
+"""Device-resident training corpus for the fused wav->train step.
+
+The fused trainer's corpus is STATIC for the entire run: the clean features
+are extracted once at startup and the noisy stream re-injects noise into the
+same raw waveforms every step. Streaming those bytes from the host every
+step re-ships ~14 MB/step of unchanging data — on a tunnel-attached chip
+that throttles e2e training to ~110-160 clips/s while the device step runs
+~3850 clips/s (PERFORMANCE.md round 3). The reference's hot loop reads from
+RAM (train.py:473-496); the TPU-native analogue is HBM: upload the flat
+per-fold corpus ONCE (same static-placement principle as committing params
+with `jax.device_put`), and gather each batch ON DEVICE from a tiny
+host-supplied index vector (~KB/step).
+
+Layout: the corpora stay in the exact flat (total, ...) + (offset, size)
+layout the host stores use — no per-clip bucket padding in HBM — and the
+step's prologue assembles the padded (B, T[, D]) batch with one gather +
+mask. The gathered batches are bit-identical to the host-assembled ones
+(zero pad fill, True=pad masks, -1 labels on the unlabeled noisy stream),
+so the training semantics are EXACTLY the streaming path's
+(tests/test_fused_trainer.py::test_resident_corpus_matches_streaming pins
+every loss term and the updated params).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.batching import pad_to_bucket
+from ..utils import get_logger
+from .fused import (
+    CleanFeatureBatch,
+    FusedBatch,
+    FusedConfig,
+    build_fused_step,
+)
+from .mesh import batch_sharding, replicated
+
+logger = get_logger(__name__)
+
+
+class ResidentClips(NamedTuple):
+    """Flat clip corpus committed to device memory once per run.
+
+    ``flat`` is (total_samples,) for waveforms or (total_frames, D) for
+    features; clips are addressed by (offset, size), mirroring
+    data/store.FeatureStore and data/wavstore.WavStore.
+    """
+
+    flat: jax.Array
+    offsets: jax.Array  # (N,) int32
+    sizes: jax.Array  # (N,) int32
+    labels: jax.Array  # (N,) int32, -1 where absent
+
+    @property
+    def num(self) -> int:
+        return int(self.sizes.shape[0])
+
+
+def _compact(store) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Contiguous (flat, offsets, sizes) for a store that may be a
+    zero-copy subset view — only the subset's clips get uploaded."""
+    sizes = np.asarray(store.sizes, np.int64)
+    total = int(sizes.sum())
+    if total >= 2**31:
+        raise ValueError(
+            f"corpus too large for int32 addressing ({total} rows)"
+        )
+    offsets64 = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    if total == 0:
+        flat = store_flat(store)[:0]
+    elif (
+        int(store.offsets[0]) == 0
+        and np.array_equal(np.asarray(store.offsets, np.int64), offsets64)
+        and total == len(store_flat(store))
+    ):
+        flat = store_flat(store)
+    else:
+        flat = np.concatenate(
+            [store.clip(i) for i in range(store.num)], axis=0
+        )
+    return flat, offsets64.astype(np.int32), sizes.astype(np.int32)
+
+
+def store_flat(store) -> np.ndarray:
+    """The flat backing array of either store flavor."""
+    return store.feats if hasattr(store, "feats") else store.samples
+
+
+def resident_from_store(
+    store,
+    mesh=None,
+    dtype: Optional[str] = None,
+    labeled: bool = True,
+) -> ResidentClips:
+    """Commits a WavStore / FeatureStore (or a subset view) to device memory,
+    replicated over ``mesh`` when given.
+
+    ``dtype``: optional storage dtype for ``flat``. bfloat16 is LOSSLESS for
+    features produced by a bfloat16 encoder (the f32 values are
+    bf16-representable) and halves HBM; leave None (float32) for exactness
+    with f32 pipelines.
+    """
+    flat, offsets, sizes = _compact(store)
+    if dtype is not None:
+        flat = flat.astype(dtype)
+    labels = (
+        np.asarray(store.labels, np.int32)
+        if labeled and store.labels is not None
+        else np.full(store.num, -1, np.int32)
+    )
+    put = (
+        (lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)))
+        if mesh is not None
+        else (lambda x: jax.device_put(jnp.asarray(x)))
+    )
+    res = ResidentClips(
+        flat=put(flat), offsets=put(offsets), sizes=put(sizes),
+        labels=put(labels),
+    )
+    logger.info(
+        "resident corpus: %d clips, %.1f MB %s committed to device",
+        store.num, flat.nbytes / 1e6, flat.dtype,
+    )
+    return res
+
+
+def resident_nbytes(store, dtype: Optional[str] = None) -> int:
+    """Upload size estimate without building anything."""
+    itemsize = np.dtype(dtype).itemsize if dtype else store_flat(store).itemsize
+    width = 1 if store_flat(store).ndim == 1 else store_flat(store).shape[1]
+    return int(np.asarray(store.sizes, np.int64).sum()) * width * itemsize
+
+
+def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
+                 frame_cap: Optional[int] = None):
+    """Assemble the padded (B, t[, D]) batch for clip indices ``idx``
+    (int32, -1 = padded row) — the on-device equivalent of
+    PaddedBatchIterator/PaddedWavIterator row assembly: clips truncated to
+    ``t`` (and ``frame_cap``), zero pad fill, mask True = pad."""
+    safe = jnp.maximum(idx, 0)
+    off = c.offsets[safe]
+    sz = c.sizes[safe]
+    pos_t = jnp.arange(t, dtype=jnp.int32)
+    valid = (pos_t[None, :] < sz[:, None]) & (idx >= 0)[:, None]
+    if frame_cap is not None and t > frame_cap:
+        valid = valid & (pos_t[None, :] < frame_cap)
+    pos = off[:, None] + jnp.minimum(
+        pos_t[None, :], jnp.maximum(sz[:, None] - 1, 0)
+    )
+    out = jnp.take(c.flat, pos, axis=0)
+    vmask = valid if out.ndim == 2 else valid[..., None]
+    out = jnp.where(vmask, out, jnp.zeros((), out.dtype))
+    return out, ~valid
+
+
+def index_batches(it, epoch: int) -> Iterator[Tuple[np.ndarray, int]]:
+    """The INDEX-ONLY projection of a PaddedBatchIterator / PaddedWavIterator
+    epoch: yields (padded_idx (B,) int32 with -1 pad rows, bucket length T)
+    for exactly the batches the iterator itself would assemble — same
+    (seed, epoch) shuffle stream, same bucket snap, same max_frames cap
+    (tests pin this against the real iterators)."""
+    it.set_epoch(epoch)
+    sizes = np.asarray(it.store.sizes)
+    order = np.arange(len(sizes))
+    if it.shuffle:
+        rng = np.random.default_rng((it.seed, it.epoch))
+        rng.shuffle(order)
+    B = it.batch_size
+    max_frames = getattr(it, "max_frames", None)
+    for start in range(0, len(order), B):
+        idx = order[start : start + B]
+        t_max = int(sizes[idx].max()) if len(idx) else 1
+        if max_frames is not None:
+            t_max = min(t_max, max_frames)
+        T = pad_to_bucket(t_max, it.buckets)
+        padded = np.full(B, -1, np.int32)
+        padded[: len(idx)] = idx
+        yield padded, T
+
+
+def paired_index_epoch(clean_it, noisy_it, epoch: int):
+    """Index-only paired_epoch (data/batching.py): zips the two streams for
+    one epoch, truncated to the shorter (reference train.py:479-483)."""
+    n = min(len(clean_it), len(noisy_it))
+    ci = index_batches(clean_it, epoch)
+    ni = index_batches(noisy_it, epoch)
+    for _ in range(n):
+        yield next(ci), next(ni)
+
+
+def make_resident_fused_step(
+    encoder,
+    head,
+    tx,
+    cfg: FusedConfig,
+    mesh=None,
+):
+    """The fused cached-clean step with an on-device batch-gather prologue:
+
+    step(enc_params, state, clean_corpus, wav_corpus, clean_idx, noisy_idx,
+         scalars, anchors, key[, noise_bank], *, t_clean, t_wav[, frame_cap])
+    -> (state', metrics)
+
+    ``clean_idx``/``noisy_idx`` are (B,) int32 clip indices (-1 = padded
+    row) — the only per-step host->device traffic besides the key/scalars.
+    One compile per (t_clean, t_wav) bucket pair, exactly like the
+    streaming step's batch shapes.
+    """
+    if not cfg.cache_clean_features:
+        raise ValueError("resident mode requires cache_clean_features "
+                         "(the production fused-trainer configuration)")
+    core = build_fused_step(encoder, head, tx, cfg)
+    dp2 = batch_sharding(mesh, 2) if mesh is not None else None
+    dp3 = batch_sharding(mesh, 3) if mesh is not None else None
+
+    def step(enc_params, state, clean_c: ResidentClips, wav_c: ResidentClips,
+             clean_idx, noisy_idx, scalars, anchors, key, noise_bank=None,
+             *, t_clean: int, t_wav: int, frame_cap: Optional[int] = None):
+        feats, fmask = gather_clips(clean_c, clean_idx, t_clean, frame_cap)
+        feats = feats.astype(jnp.float32)
+        labels = jnp.where(clean_idx >= 0, clean_c.labels[jnp.maximum(clean_idx, 0)], -1)
+        wav, wmask = gather_clips(wav_c, noisy_idx, t_wav)
+        if mesh is not None:
+            feats = jax.lax.with_sharding_constraint(feats, dp3)
+            fmask = jax.lax.with_sharding_constraint(fmask, dp2)
+            wav = jax.lax.with_sharding_constraint(wav, dp2)
+            wmask = jax.lax.with_sharding_constraint(wmask, dp2)
+        clean = CleanFeatureBatch(
+            feats=feats, frame_mask=fmask, labels=labels,
+            row_valid=clean_idx >= 0,
+        )
+        noisy = FusedBatch(
+            wav=wav.astype(jnp.float32), wav_mask=wmask,
+            labels=jnp.full_like(noisy_idx, -1),
+            row_valid=noisy_idx >= 0,
+            ids=noisy_idx,
+        )
+        return core(enc_params, state, clean, noisy, scalars, anchors, key,
+                    noise_bank)
+
+    return jax.jit(
+        step,
+        static_argnames=("t_clean", "t_wav", "frame_cap"),
+        donate_argnums=(1,),
+    )

@@ -151,6 +151,7 @@ def prepare_fused_shared(
     extract_batch_size: int = 16,
     mesh=None,
     skip_noisy: bool = False,
+    extract_buckets: Optional[Sequence[int]] = None,
 ) -> Dict:
     """The fold-INDEPENDENT startup artifacts of fused training: wav store,
     placed extractor, one clean extraction pass, the fixed noisy val/test
@@ -170,8 +171,9 @@ def prepare_fused_shared(
     # one extraction pass each for the clean corpus and the FIXED noisy
     # domain (validation/test target) — the startup-cost analogue of the
     # reference's offline extraction stage, amortized over all epochs
+    kw = {} if extract_buckets is None else {"buckets": tuple(extract_buckets)}
     extractor = FeatureExtractor(
-        encoder_cfg, enc_params, batch_size=extract_batch_size, mesh=mesh
+        encoder_cfg, enc_params, batch_size=extract_batch_size, mesh=mesh, **kw
     )
     logger.info("fused trainer: extracting clean features once")
     clean_feats = extractor.extract_clips(wav_store.clips())
@@ -281,6 +283,9 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         wav_buckets: Sequence[int] = WAV_BUCKETS,
         transfer_dtype: Optional[str] = None,
         shared: Optional[Dict] = None,
+        extract_buckets: Optional[Sequence[int]] = None,
+        resident="auto",
+        resident_max_bytes: int = 8 << 30,
     ):
         """``transfer_dtype`` (e.g. "bfloat16"): ship the f32 wav + cached
         clean-feature batches to the device in this dtype and upcast on
@@ -292,7 +297,18 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         are requested).
 
         ``shared``: a ``prepare_fused_shared`` dict to reuse the
-        fold-independent startup artifacts across folds (run_fused_cv)."""
+        fold-independent startup artifacts across folds (run_fused_cv).
+
+        ``resident``: True / False / "auto" — commit the fold's training
+        corpus (cached clean features + raw noisy-stream waveforms, both
+        static for the whole run) to DEVICE memory once and gather batches
+        on-device from per-step index vectors (parallel/resident.py),
+        instead of assembling + uploading ~MBs of unchanging bytes every
+        step. "auto" engages when the upload estimate fits
+        ``resident_max_bytes`` (IEMOCAP's largest fold is ~3 GB vs 16 GB
+        HBM). Semantics are identical to streaming (equivalence-tested);
+        feature storage is bf16 when the encoder is bf16 (lossless — the
+        f32 feature values are bf16-representable), f32 otherwise."""
         fused_cfg = _normalize_fused_cfg(cfg, encoder_cfg, fused_cfg,
                                          noise_root)
         if mesh is not None and transfer_dtype:
@@ -309,6 +325,7 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
                 cfg, manifest_dir, encoder_cfg, enc_params, fused_cfg,
                 noise_root, val_injection_seed=val_injection_seed,
                 extract_batch_size=extract_batch_size, mesh=mesh,
+                extract_buckets=extract_buckets,
             )
         self.wav_store = shared["wav_store"]
         self.extractor = shared["extractor"]
@@ -381,6 +398,41 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self._fused_step = make_fused_extract_train_step(
             self.extractor.model, self.head, self.tx, self.fused_cfg, mesh
         )
+        self._setup_resident(resident, resident_max_bytes)
+
+    def _setup_resident(self, resident, resident_max_bytes: int) -> None:
+        """Builds the device-resident corpus + gather step (or leaves the
+        streaming path active when disabled / too large)."""
+        from ..parallel.resident import (
+            make_resident_fused_step,
+            resident_from_store,
+            resident_nbytes,
+        )
+
+        self._resident = None
+        if resident is False:
+            return
+        clean_sub = self.clean_train.store
+        wav_sub = self.noisy_wav_train.store
+        feat_dtype = (
+            "bfloat16" if self.fused_cfg.encoder.dtype == "bfloat16" else None
+        )
+        est = resident_nbytes(clean_sub, feat_dtype) + resident_nbytes(wav_sub)
+        if resident == "auto" and est > resident_max_bytes:
+            logger.info(
+                "resident corpus disabled: estimated %.1f GB > budget %.1f GB"
+                " — streaming batches from host", est / 1e9,
+                resident_max_bytes / 1e9,
+            )
+            return
+        self._resident = (
+            resident_from_store(clean_sub, mesh=self.mesh, dtype=feat_dtype),
+            resident_from_store(wav_sub, mesh=self.mesh, labeled=False),
+        )
+        self._resident_step = make_resident_fused_step(
+            self.extractor.model, self.head, self.tx, self.fused_cfg,
+            self.mesh,
+        )
 
     # ------------------------------------------------------------------
     def _paired_fused_epoch(self, epoch: int):
@@ -413,6 +465,8 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self.state = self.state._replace(
             opt_state=set_learning_rate(self.state.opt_state, cosine_lr(cfg, epoch))
         )
+        if self._resident is not None:
+            return self._train_epoch_resident(epoch, scalars)
         totals = defaultdict(float)
         n = 0
         pairs = prefetch(
@@ -439,6 +493,41 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self._epoch_end_dacp(epoch)
         return {k: v / max(n, 1) for k, v in totals.items()}
 
+    def _train_epoch_resident(self, epoch: int, scalars) -> Dict[str, float]:
+        """Device-resident epoch: per step the host ships only two (B,)
+        index vectors + the rng key; batches are gathered from HBM inside
+        the step. Metric materialization is deferred to epoch end so
+        dispatches pipeline instead of paying a host round-trip per step
+        (values identical to the streaming path — same float() sums in the
+        same order, just later)."""
+        clean_c, wav_c = self._resident
+        frame_cap = self.clean_train.max_frames
+        per_step = []
+        from ..parallel.resident import paired_index_epoch
+
+        for (cidx, t_c), (widx, t_w) in paired_index_epoch(
+            self.clean_train, self.noisy_wav_train, epoch
+        ):
+            self._rng, key = jax.random.split(self._rng)
+            args = (self.enc_params, self.state, clean_c, wav_c,
+                    jnp.asarray(cidx), jnp.asarray(widx), scalars,
+                    self.anchors, key)
+            if self._noise_bank is not None:
+                args = args + (self._noise_bank,)
+            self.state, metrics = self._resident_step(
+                *args, t_clean=t_c, t_wav=t_w, frame_cap=frame_cap
+            )
+            per_step.append(metrics)
+        totals = defaultdict(float)
+        for metrics in per_step:
+            for k in ("total_loss", "supervised_ce_loss", "consistency_loss",
+                      "ecda_loss"):
+                totals[k] += float(metrics[k])
+            if "tracking" in metrics:
+                self._log_tracked(epoch, metrics["tracking"])
+        self._epoch_end_dacp(epoch)
+        return {k: v / max(len(per_step), 1) for k, v in totals.items()}
+
 
 def run_fused_cv(
     cfg: DADConfig,
@@ -453,6 +542,7 @@ def run_fused_cv(
     prefetch_depth: int = 2,
     mesh=None,
     transfer_dtype: Optional[str] = None,
+    resident="auto",
 ) -> Dict:
     """K-fold sweep for the fused trainer (run_cv counterpart)."""
     import re
@@ -487,6 +577,7 @@ def run_fused_cv(
                 mesh=mesh,
                 transfer_dtype=transfer_dtype,
                 shared=shared,
+                resident=resident,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

@@ -520,3 +520,152 @@ def test_fused_multi_noise_suite(corpus, tmp_path, monkeypatch):
     assert os.path.exists(out)
     md = open(out.replace(".json", ".md")).read()
     assert "no_dacp" in md and "no_repulsion" in md and "FAILED" not in md
+
+
+# ---------------------------------------------------------------------------
+# device-resident corpus (parallel/resident.py, round 4)
+
+
+def test_index_batches_matches_iterators(corpus):
+    """index_batches is the exact index-only projection of both iterator
+    flavors: same ids, same bucket length, for shuffled and ordered
+    epochs."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.batching import (
+        PaddedBatchIterator,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (
+        FeatureStore,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        index_batches,
+    )
+
+    cfg = _dad_cfg("/tmp")
+    store = load_wav_store(corpus, cfg.label_map)
+    for shuffle in (False, True):
+        it = PaddedWavIterator(store, 8, buckets=(4000, 8000, 16000),
+                               shuffle=shuffle, seed=11)
+        for epoch in (0, 3):
+            got = list(index_batches(it, epoch))
+            it.set_epoch(epoch)
+            want = list(it)
+            assert len(got) == len(want)
+            for (idx, T), b in zip(got, want):
+                np.testing.assert_array_equal(idx, b.ids)
+                assert T == b.wav.shape[1]
+
+    rng = np.random.default_rng(0)
+    sizes = rng.integers(3, 40, 30).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    fs = FeatureStore(
+        feats=rng.normal(size=(int(sizes.sum()), 4)).astype(np.float32),
+        sizes=sizes, offsets=offsets,
+        labels=rng.integers(0, 4, 30).astype(np.int32),
+    )
+    it = PaddedBatchIterator(fs, 7, buckets=(8, 16, 32, 64), shuffle=True,
+                             seed=5, max_frames=20)
+    for epoch in (0, 2):
+        got = list(index_batches(it, epoch))
+        it.set_epoch(epoch)
+        want = list(it)
+        assert len(got) == len(want)
+        for (idx, T), b in zip(got, want):
+            np.testing.assert_array_equal(idx, b.ids)
+            assert T == b.feats.shape[1]
+
+
+def test_gather_clips_matches_host_assembly(corpus):
+    """On-device gather == the iterator's host row assembly, bit for bit
+    (zero pad fill, True=pad mask, frame cap)."""
+    import jax.numpy as jnp
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        gather_clips,
+        index_batches,
+        resident_from_store,
+    )
+
+    cfg = _dad_cfg("/tmp")
+    store = load_wav_store(corpus, cfg.label_map)
+    res = resident_from_store(store)
+    it = PaddedWavIterator(store, 8, buckets=(4000, 8000, 16000),
+                           shuffle=True, seed=2)
+    it.set_epoch(1)
+    want = list(it)
+    for (idx, T), b in zip(index_batches(it, 1), want):
+        wav, mask = gather_clips(res, jnp.asarray(idx), T)
+        np.testing.assert_array_equal(np.asarray(wav), b.wav)
+        np.testing.assert_array_equal(np.asarray(mask), b.wav_mask)
+
+
+def test_resident_corpus_matches_streaming(corpus, tmp_path):
+    """VERDICT r3 item 2: the device-resident corpus path must be
+    semantically IDENTICAL to host streaming — every per-epoch loss term,
+    the updated student params, the DACP state, and the per-sample
+    confirmation-bias log."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+        prepare_fused_shared,
+    )
+
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    fused = FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+    shared = prepare_fused_shared(cfg, corpus, TINY_ENC, tiny_enc_params(),
+                                  fused, None)
+
+    def build(resident, sub):
+        c = _dad_cfg(tmp_path, epochs=3,
+                     results_base_dir=str(tmp_path / sub))
+        return FusedCrossDomainTrainer(
+            c, corpus, TINY_ENC, tiny_enc_params(),
+            fused_cfg=FusedConfig(encoder=TINY_ENC, dad=c,
+                                  inject_snr_db=10.0),
+            fold=0, prefetch_depth=0, wav_buckets=(8000,),
+            shared=shared, resident=resident,
+        )
+
+    stream = build(False, "stream")
+    res = build(True, "res")
+    assert stream._resident is None and res._resident is not None
+
+    for epoch in (0, 1):  # warmup + post-warmup (DACP/ECDA/EMA/tracking)
+        a = stream.train_epoch(epoch)
+        b = res.train_epoch(epoch)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=f"epoch {epoch} {k}")
+
+    for pa, pb in zip(jax.tree.leaves(stream.state.ssrl.student),
+                      jax.tree.leaves(res.state.ssrl.student)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)
+    for da, db in zip(jax.tree.leaves(stream.state.dacp),
+                      jax.tree.leaves(res.state.dacp)):
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-6, atol=1e-7)
+    assert stream.bias_analysis_log == res.bias_analysis_log
+    assert len(res.bias_analysis_log) > 0
+
+
+def test_resident_auto_budget_fallback(corpus, tmp_path):
+    """'auto' falls back to streaming when the estimate exceeds the HBM
+    budget (VERDICT r3 item 2: 'fall back to streaming when the corpus
+    doesn't fit')."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+        prepare_fused_shared,
+    )
+
+    cfg = _dad_cfg(tmp_path, epochs=1)
+    fused = FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+    shared = prepare_fused_shared(cfg, corpus, TINY_ENC, tiny_enc_params(),
+                                  fused, None)
+    t = FusedCrossDomainTrainer(
+        cfg, corpus, TINY_ENC, tiny_enc_params(),
+        fused_cfg=fused, fold=0, prefetch_depth=0, wav_buckets=(8000,),
+        shared=shared, resident="auto", resident_max_bytes=16,
+    )
+    assert t._resident is None
+    avg = t.train_epoch(0)  # streaming path still trains
+    assert np.isfinite(avg["total_loss"])

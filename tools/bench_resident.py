@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Real-chip A/B: device-resident corpus vs host streaming for the fused
+trainer (VERDICT r3 item 2).
+
+Round 3 measured the fused TRAINER at ~108 clips/s f32 / ~159 clips/s bf16
+transfers on this rig — 24x below the same program's 3855 clips/s device
+capability — because each step re-uploaded ~14 MB of STATIC corpus bytes
+over the ~28 MB/s tunnel. The resident path uploads the corpus once and
+ships ~KB of indices per step.
+
+Method (PERFORMANCE.md two-order rule): two trainer instances share one
+``prepare_fused_shared`` startup; epochs alternate A/B/A/B and the whole
+sweep runs again in the reverse order to cancel time-correlated tunnel
+drift. Timing is steady-state epochs (first epoch per trainer = compile,
+excluded).
+
+Usage: python tools/bench_resident.py [--clips 320] [--secs 2.0]
+       [--batch 64] [--epochs 3]
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_corpus(root, n_clips, secs, sr=16000):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.manifests import (
+        build_emodb_manifest,
+    )
+
+    wav_dir = os.path.join(root, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    speakers = ["03", "08", "09", "10", "11", "12", "13", "14", "15", "16"]
+    per = int(np.ceil(n_clips / len(speakers)))
+    made = 0
+    for spk in speakers:
+        for j in range(per):
+            if made >= n_clips:
+                break
+            c = made % 4
+            n = int(sr * secs * (0.8 + 0.4 * rng.random()))
+            t = np.arange(n) / sr
+            wav = (0.08 + 0.12 * c) * np.sin(2 * np.pi * 200.0 * (c + 1) * t)
+            write_wav(os.path.join(wav_dir, f"{spk}a{j % 7}{'ATNL'[c]}a.wav"),
+                      wav.astype(np.float32), sr)
+            made += 1
+    dest = os.path.join(root, "manifests")
+    build_emodb_manifest(wav_dir, dest)
+    return dest
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=320)
+    ap.add_argument("--secs", type=float, default=2.0)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--epochs", type=int, default=3,
+                    help="timed steady-state epochs per trainer per order")
+    args = ap.parse_args()
+
+    import jax
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
+        EncoderConfig, dad_preset,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.fused import (
+        FusedConfig,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+        FusedCrossDomainTrainer, prepare_fused_shared,
+    )
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    root = tempfile.mkdtemp(prefix="bench_resident_")
+    manifest = make_corpus(root, args.clips, args.secs)
+
+    enc_cfg = EncoderConfig(dtype="bfloat16", gelu_approximate=True)
+    cfg = dad_preset(
+        "emodb", batch_size=args.batch, epochs=500, warmup_epochs=1,
+        ecda_start_epoch=1, validation_interval=10_000,
+        results_base_dir=os.path.join(root, "results"),
+    )
+    fused = FusedConfig(encoder=enc_cfg, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+
+    t0 = time.time()
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.emotion2vec import (
+        Emotion2vecEncoder,
+    )
+
+    enc = Emotion2vecEncoder(enc_cfg)
+    enc_params = enc.init(jax.random.PRNGKey(0),
+                          np.zeros((1, 16000), np.float32))
+    shared = prepare_fused_shared(cfg, manifest, enc_cfg, enc_params, fused,
+                                  None, extract_batch_size=args.batch)
+    print(f"shared startup (decode + 2 extraction passes): "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+
+    def build(resident, sub, transfer_dtype=None):
+        c = dad_preset(
+            "emodb", batch_size=args.batch, epochs=500, warmup_epochs=1,
+            ecda_start_epoch=1, validation_interval=10_000,
+            results_base_dir=os.path.join(root, "results", sub),
+        )
+        return FusedCrossDomainTrainer(
+            c, manifest, enc_cfg, enc_params,
+            fused_cfg=FusedConfig(encoder=enc_cfg, dad=c,
+                                  inject_snr_db=10.0,
+                                  cache_clean_features=True),
+            fold=0, prefetch_depth=2, shared=shared, resident=resident,
+            transfer_dtype=transfer_dtype,
+        )
+
+    trainers = {
+        "stream_f32": build(False, "s32"),
+        "stream_bf16": build(False, "s16", transfer_dtype="bfloat16"),
+        "resident": build(True, "res"),
+    }
+    n_steps = {k: min(len(t.clean_train), len(t.noisy_wav_train))
+               for k, t in trainers.items()}
+
+    # warm every trainer (compile epoch, untimed)
+    for k, t in trainers.items():
+        tw = time.time()
+        t.train_epoch(4)  # post-warmup epoch: the full program
+        print(f"warm {k}: {time.time() - tw:.1f}s", file=sys.stderr)
+
+    results = {k: [] for k in trainers}
+
+    def sweep(order, tag):
+        for epoch in range(5, 5 + args.epochs):
+            for k in order:
+                t = trainers[k]
+                te = time.time()
+                t.train_epoch(epoch)
+                dt = time.time() - te
+                clips = 2 * args.batch * n_steps[k] / dt
+                results[k].append(clips)
+                print(f"[{tag}] {k} epoch {epoch}: {dt:.2f}s -> "
+                      f"{clips:.1f} clips/s", file=sys.stderr)
+
+    keys = list(trainers)
+    sweep(keys, "fwd")
+    sweep(keys[::-1], "rev")
+
+    print("\n== fused trainer e2e clips/s (median over "
+          f"{2 * args.epochs} interleaved epochs, both orders) ==")
+    for k, v in results.items():
+        print(f"  {k:<14} median {np.median(v):8.1f}  "
+              f"(all: {[round(x, 1) for x in v]})")
+
+
+if __name__ == "__main__":
+    main()
