@@ -175,6 +175,16 @@ class D2vPretrainConfig:
     # PERFORMANCE.md round 3). Different random stream than the default;
     # resume stays bit-exact within either choice.
     rng_impl: str = "threefry"
+    # storage dtypes for the B-invariant f32 state streams the round-3
+    # roofline blamed for the bandwidth floor (PERFORMANCE.md): EMA-teacher
+    # copies and the AdamW first moment. "bfloat16" halves their HBM
+    # traffic; EMA arithmetic stays f32 (upcast-compute-downcast), only the
+    # STORAGE quantizes — an opt-in numerics change (the teacher sees
+    # bf16-rounded EMA weights; it already RUNS in the student's compute
+    # dtype, merge_teacher_params). See PERFORMANCE.md round 4 for the
+    # accept/reject measurement.
+    ema_dtype: str = "float32"
+    adam_mu_dtype: Optional[str] = None  # optax adamw mu_dtype
 
 
 @dataclass(frozen=True)

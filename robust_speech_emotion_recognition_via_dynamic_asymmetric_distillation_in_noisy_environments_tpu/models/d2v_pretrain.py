@@ -337,11 +337,12 @@ def _ema_keys(cfg: EncoderConfig, pcfg: D2vPretrainConfig, tree: dict):
 
 def init_ema_blocks(params, cfg: EncoderConfig, pcfg: D2vPretrainConfig):
     p = params["params"]
+    dt = jnp.dtype(pcfg.ema_dtype)
     # copy=True: astype on an already-f32 leaf would ALIAS the student
     # buffer, and the donated train step may not receive the same buffer
     # twice (params + ema_blocks)
     return {
-        k: jax.tree.map(lambda a: jnp.array(a, jnp.float32, copy=True), p[k])
+        k: jax.tree.map(lambda a: jnp.array(a, dt, copy=True), p[k])
         for k in _ema_keys(cfg, pcfg, p)
     }
 
@@ -377,6 +378,9 @@ def build_d2v_optimizer(pcfg: D2vPretrainConfig) -> optax.GradientTransformation
             b1=pcfg.adam_betas[0],
             b2=pcfg.adam_betas[1],
             weight_decay=pcfg.weight_decay,
+            # bf16 first-moment storage (adam_mu_dtype): halves the m-stream
+            # HBM traffic; optax upcasts for the update math
+            mu_dtype=pcfg.adam_mu_dtype,
         ),
     )
 
@@ -565,9 +569,15 @@ def make_d2v_train_step(model: D2vPretrainModel, tx, jit: bool = True):
         params = optax.apply_updates(state.params, updates)
         decay = annealed_decay(pcfg, state.step)
         p = params["params"]
+        # EMA arithmetic in f32 regardless of the STORAGE dtype
+        # (pcfg.ema_dtype): for f32 storage the casts are no-ops and this is
+        # bit-identical to the round-3 update
         ema = {
             k: jax.tree.map(
-                lambda e, s: decay * e + (1.0 - decay) * s.astype(jnp.float32),
+                lambda e, s: (
+                    decay * e.astype(jnp.float32)
+                    + (1.0 - decay) * s.astype(jnp.float32)
+                ).astype(e.dtype),
                 state.ema_blocks[k],
                 p[k],
             )

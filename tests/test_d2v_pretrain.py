@@ -982,3 +982,36 @@ def test_span_mask_restricted_to_valid_frames():
     # rows shorter than the budget overflow (static count preserved)
     short = int(np.argmin(np.asarray(lengths)))
     assert m[short].sum() == n_masked
+
+
+def test_bf16_state_storage_knobs(rng):
+    """Round-4 bandwidth-floor experiment knobs (PERFORMANCE.md r4):
+    ema_dtype / adam_mu_dtype quantize STORAGE only — EMA leaves and the
+    AdamW first moment carry the requested dtype, the update math stays
+    f32, training stays finite, and merge_teacher_params still hands the
+    encoder its compute dtype."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_pretrain import (
+        merge_teacher_params,
+    )
+
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(ema_dtype="bfloat16", adam_mu_dtype="bfloat16")
+    model, tx, state = init_d2v_state(cfg, pcfg, jax.random.PRNGKey(0),
+                                      example_len=64)
+    for leaf in jax.tree.leaves(state.ema_blocks):
+        assert leaf.dtype == jnp.bfloat16
+    mu_leaves = jax.tree.leaves(state.opt_state[1][0].mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+
+    step = make_d2v_train_step(model, tx)
+    wav = rng.normal(size=(4, 64)).astype(np.float32)
+    pad = np.zeros((4, 64), bool)
+    for i in range(3):
+        state, m = step(state, wav, pad, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree.leaves(state.ema_blocks):
+        assert leaf.dtype == jnp.bfloat16  # storage dtype survives updates
+    merged = merge_teacher_params(state.params, state.ema_blocks)
+    for k in state.ema_blocks:
+        for leaf in jax.tree.leaves(merged["params"][k]):
+            assert leaf.dtype == jnp.dtype(cfg.dtype)

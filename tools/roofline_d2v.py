@@ -107,6 +107,12 @@ def main():
     ap.add_argument("--prng", default="threefry", choices=["threefry", "rbg"],
                     help="rbg = TPU-native generator (cheaper dropout/mask "
                          "draws; different stream than the default)")
+    ap.add_argument("--ema-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="EMA-teacher storage dtype (round-4 bandwidth-floor "
+                         "experiment)")
+    ap.add_argument("--adam-mu-dtype", default=None, choices=["bfloat16"],
+                    help="AdamW first-moment storage dtype")
     args = ap.parse_args()
 
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
@@ -123,7 +129,9 @@ def main():
         fast_softmax=args.fast,
     )
     pcfg = D2vPretrainConfig(
-        batch_size=args.batch, crop_size=args.crop, clone_batch=args.clone_batch
+        batch_size=args.batch, crop_size=args.crop,
+        clone_batch=args.clone_batch, ema_dtype=args.ema_dtype,
+        adam_mu_dtype=args.adam_mu_dtype,
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
