@@ -52,6 +52,15 @@ B = 64  # clips per stream per step (clean + noisy = 2B clips per step)
 T = int(CLIP_SECONDS * SR)
 STEPS = 20
 
+# Pinned torch-CPU baseline (BASELINE.md "Pinned baseline"): median of 5
+# runs measured round 4 via tools/pin_baseline.py under a 1-min
+# load-average guard (<= 0.6 on this 1-core host): [0.96 (warmup), 1.591,
+# 1.558, 1.562, 1.540] -> 1.558. The LIVE re-measure swung 1.14 -> 0.93 ->
+# 0.33 clips/s across rounds 1-3 purely with box contention (VERDICT r3),
+# so ``vs_baseline`` divides by this pin; the fresh measurement is still
+# taken and reported alongside as drift telemetry.
+PINNED_BASELINE_CPS = 1.558
+
 
 def bench_tpu():
     import jax
@@ -173,11 +182,10 @@ def bench_torch_baseline(n_clips: int = 8):
 def main():
     tpu_cps = bench_tpu()
     try:
-        base_cps = bench_torch_baseline()
+        fresh_cps = bench_torch_baseline()
     except Exception as e:  # pragma: no cover
         log(f"baseline failed: {e}")
-        base_cps = None
-    vs = tpu_cps / base_cps if base_cps else None
+        fresh_cps = None
     print(
         json.dumps(
             {
@@ -186,7 +194,16 @@ def main():
                           "features cached; vs torch-CPU reference impl)",
                 "value": round(tpu_cps, 2),
                 "unit": "clips/sec/chip",
-                "vs_baseline": round(vs, 2) if vs else None,
+                # vs the PINNED baseline (reproducible across reruns);
+                # the live torch-CPU re-measure rides along as telemetry
+                "vs_baseline": round(tpu_cps / PINNED_BASELINE_CPS, 2),
+                "baseline_pinned_clips_s": PINNED_BASELINE_CPS,
+                "baseline_fresh_clips_s": (
+                    round(fresh_cps, 3) if fresh_cps else None
+                ),
+                "vs_baseline_fresh": (
+                    round(tpu_cps / fresh_cps, 2) if fresh_cps else None
+                ),
             }
         )
     )
