@@ -125,6 +125,8 @@ def _cmd_d2v_pretrain(args):
         clone_batch=args.clone_batch,
         cls_loss=args.cls_loss,
         rng_impl=args.prng,
+        ema_dtype=args.ema_dtype,
+        adam_mu_dtype=args.adam_mu_dtype,
     )
     weights = (
         [float(w) for w in args.weights.split(",")] if args.weights else None
@@ -272,6 +274,7 @@ def _cmd_dad_fused(args):
         prefetch_depth=args.prefetch_depth,
         mesh=mesh,
         transfer_dtype=args.transfer_dtype,
+        resident={"auto": "auto", "on": True, "off": False}[args.resident],
     )
     if args.fold == "all":
         run_fused_cv(cfg, args.from_wav, enc_cfg, enc_params, **common)
@@ -356,14 +359,27 @@ def _cmd_ablation(args):
             "--multi-noise already sweeps noise conditions; pick the "
             "mechanism suite to average (--suite standard or granular)"
         )
+
+    def pick(suite):
+        """--experiments: bound a suite to a named subset (keeps real-chip
+        grids affordable; unknown names fail loudly)."""
+        if not args.experiments:
+            return suite
+        names = [n.strip() for n in args.experiments.split(",") if n.strip()]
+        unknown = [n for n in names if n not in suite]
+        if unknown:
+            raise ValueError(f"--experiments {unknown} not in suite "
+                             f"{sorted(suite)}")
+        return {n: suite[n] for n in names}
+
     if args.from_wav:
         cfg = dad_preset(args.corpus, **_sweep_cfg_kw(args))
         enc_cfg, enc_params, fused_cfg = _build_fused_from_args(args, cfg)
         if (args.suite == "noise" or args.multi_noise) and not args.noise_root:
             raise ValueError("--suite noise / --multi-noise with --from-wav "
                              "need --noise-root (NOISEX-92 bank)")
-        suite = (STANDARD_ABLATIONS if args.suite == "standard"
-                 else GRANULAR_ABLATIONS)
+        suite = pick(STANDARD_ABLATIONS if args.suite == "standard"
+                     else GRANULAR_ABLATIONS)
         if args.multi_noise:
             # every mechanism averaged over the injection grid
             # (run_granular_ablations*.py semantics, fused on-device)
@@ -377,7 +393,7 @@ def _cmd_ablation(args):
             )
             return 0
         if args.suite == "noise":
-            suite = fused_noise_condition_experiments()
+            suite = pick(fused_noise_condition_experiments())
         run_fused_ablation_suite(
             cfg, suite, args.from_wav, enc_cfg, enc_params,
             base_fused_cfg=fused_cfg, noise_root=args.noise_root,
@@ -397,8 +413,8 @@ def _cmd_ablation(args):
         **_sweep_cfg_kw(args),
     )
     if args.multi_noise:
-        suite = (STANDARD_ABLATIONS if args.suite == "standard"
-                 else GRANULAR_ABLATIONS)
+        suite = pick(STANDARD_ABLATIONS if args.suite == "standard"
+                     else GRANULAR_ABLATIONS)
         run_multi_noise_suite(
             cfg, suite, args.multi_noise.split(","), fold=args.fold,
             output_path=args.output,
@@ -407,10 +423,10 @@ def _cmd_ablation(args):
     if args.suite == "noise":
         # --noisy is the BASE of the offline `root1-{type}-{snr}db` trees
         # (the reference's NOISY_DATA_DIR swap grid)
-        suite = noise_condition_experiments(args.noisy)
+        suite = pick(noise_condition_experiments(args.noisy))
     else:
-        suite = (STANDARD_ABLATIONS if args.suite == "standard"
-                 else GRANULAR_ABLATIONS)
+        suite = pick(STANDARD_ABLATIONS if args.suite == "standard"
+                     else GRANULAR_ABLATIONS)
     run_ablation_suite(cfg, suite, fold=args.fold, output_path=args.output)
     return 0
 
@@ -573,6 +589,11 @@ def _add_fused_args(p):
     p.add_argument("--noise-type", default="babble")
     p.add_argument("--prefetch-depth", type=int, default=2)
     p.add_argument("--transfer-dtype", default=None)
+    p.add_argument("--resident", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="commit the training corpus to device HBM once and "
+                        "gather batches on-device (fused mode; ~KB/step "
+                        "host traffic instead of ~MBs)")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
     p.add_argument("--batch-size", type=int, default=None)
@@ -669,6 +690,13 @@ def main(argv=None) -> int:
     p.add_argument("--prng", choices=["threefry", "rbg"], default="threefry",
                    help="rbg = TPU hardware generator: ~1.2x faster steps "
                         "and ~13x faster compiles (different random stream)")
+    p.add_argument("--ema-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="EMA-teacher STORAGE dtype (update math stays f32); "
+                        "bfloat16 halves that stream's HBM traffic — "
+                        "quantizes the teacher weights (PERFORMANCE.md r4)")
+    p.add_argument("--adam-mu-dtype", choices=["bfloat16"], default=None,
+                   help="AdamW first-moment storage dtype (optax mu_dtype)")
     p.add_argument("--transfer-dtype", default=None,
                    metavar="DTYPE",
                    help="ship wav batches host->device in this dtype "
@@ -754,6 +782,13 @@ def main(argv=None) -> int:
     p.add_argument("--transfer-dtype", default=None,
                    help="ship f32 features as this dtype + upcast on device "
                         "(e.g. bfloat16; halves H2D bytes, quantizes inputs)")
+    p.add_argument("--resident", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="fused mode: commit the fold's corpus (cached clean "
+                        "features + raw wavs) to device HBM once and gather "
+                        "batches on-device from per-step index vectors — "
+                        "~KB/step host traffic instead of ~14 MB/step "
+                        "(auto falls back to streaming when it doesn't fit)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
@@ -810,6 +845,9 @@ def main(argv=None) -> int:
                         "fused mode: 'grid' for the full injection grid, or "
                         "a comma list of type@snr cells (e.g. "
                         "--multi-noise babble@10,f16@0)")
+    p.add_argument("--experiments", default=None,
+                   help="comma-separated subset of the suite's experiment "
+                        "names to run (bounds real-chip grids)")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--output", default="ablation_results.json")
