@@ -192,10 +192,14 @@ def _cmd_dad(args):
 
         mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
         scan_chunk = 0  # per-batch dispatch under the mesh
+    # "auto" engages the device-resident corpus unless a mesh is given
+    # (the dp-sharded feature step streams; see CrossDomainTrainer)
+    resident = {"auto": "auto", "on": True, "off": False}[args.resident]
     if args.fold == "all":
         run_cv(cfg, experiment_name=args.name, scan_chunk=scan_chunk,
                prefetch_depth=args.prefetch_depth,
-               transfer_dtype=args.transfer_dtype, mesh=mesh)
+               transfer_dtype=args.transfer_dtype, mesh=mesh,
+               resident=resident)
     else:
         trainer = CrossDomainTrainer(
             cfg, fold=int(args.fold), experiment_name=args.name,
@@ -203,6 +207,7 @@ def _cmd_dad(args):
             prefetch_depth=args.prefetch_depth,
             transfer_dtype=args.transfer_dtype,
             mesh=mesh,
+            resident=resident,
         )
         trainer.train(resume=args.resume)
     return 0
@@ -784,11 +789,13 @@ def main(argv=None) -> int:
                         "(e.g. bfloat16; halves H2D bytes, quantizes inputs)")
     p.add_argument("--resident", choices=["auto", "on", "off"],
                    default="auto",
-                   help="fused mode: commit the fold's corpus (cached clean "
-                        "features + raw wavs) to device HBM once and gather "
-                        "batches on-device from per-step index vectors — "
-                        "~KB/step host traffic instead of ~14 MB/step "
-                        "(auto falls back to streaming when it doesn't fit)")
+                   help="commit the fold's training corpus to device HBM "
+                        "once (fused: cached clean features + raw wavs; "
+                        "feature mode: clean + noisy feature stores) and "
+                        "gather batches on-device from per-step index "
+                        "vectors — ~KB/step host traffic instead of ~MBs "
+                        "(auto falls back to streaming when it doesn't fit "
+                        "or a mesh is given)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import pad_to_bucket
+from ..data.batching import Batch, pad_to_bucket
 from ..utils import get_logger
 from .fused import (
     CleanFeatureBatch,
@@ -190,6 +190,132 @@ def paired_index_epoch(clean_it, noisy_it, epoch: int):
     ni = index_batches(noisy_it, epoch)
     for _ in range(n):
         yield next(ci), next(ni)
+
+
+def gather_feature_batch(
+    c: ResidentClips, idx: jax.Array, t: int,
+    frame_cap: Optional[int] = None,
+) -> Batch:
+    """On-device assembly of a feature-mode ``Batch`` — the resident
+    counterpart of PaddedBatchIterator row assembly (data/batching.py:
+    zero pad fill, True=pad mask, -1 labels/ids on padded rows, frame
+    cap), bit-identical to the host rows for the same indices."""
+    feats, pad = gather_clips(c, idx, t, frame_cap)
+    labels = jnp.where(idx >= 0, c.labels[jnp.maximum(idx, 0)], -1)
+    return Batch(
+        feats=feats.astype(jnp.float32),
+        padding_mask=pad,
+        labels=labels,
+        ids=idx,
+        row_valid=idx >= 0,
+    )
+
+
+def materialize_metrics(per_step, keys) -> np.ndarray:
+    """ONE host transfer for an epoch's deferred per-step metric scalars.
+
+    Each ``float(metrics[k])`` is its own device->host round trip; on a
+    tunnel-attached chip that latency (not bytes) dominates a resident
+    epoch's wall time (PERFORMANCE.md round 4). Stacking the S*len(keys)
+    scalars on device and pulling once replaces S*K round trips with one.
+    Returns (S, K) float32 — exactly the values the per-step float() calls
+    would have produced, in the same order."""
+    if not per_step:
+        return np.zeros((0, len(keys)), np.float32)
+    stacked = jnp.stack(
+        [
+            jnp.stack([jnp.asarray(m[k], jnp.float32) for k in keys])
+            for m in per_step
+        ]
+    )
+    return np.asarray(stacked)
+
+
+def materialize_tracking(per_step) -> list:
+    """One host transfer PER TRACKING KEY (not per step) for an epoch's
+    deferred tracking dicts; returns per-step host dicts in step order."""
+    if not per_step:
+        return []
+    keys = list(per_step[0])
+    host = {
+        k: np.asarray(jnp.stack([t[k] for t in per_step])) for k in keys
+    }
+    return [{k: host[k][i] for k in keys} for i in range(len(per_step))]
+
+
+def make_resident_dad_step(head, tx, cfg):
+    """The feature-mode DAD train step with an on-device batch-gather
+    prologue (the CrossDomainTrainer analogue of make_resident_fused_step):
+
+    step(state, clean_corpus, noisy_corpus, clean_idx, noisy_idx, scalars,
+         anchors, key, *, t_clean, t_noisy, frame_cap) -> (state', metrics,
+         tracking)
+
+    Per step the host ships two (B,) int32 index vectors + the key instead
+    of ~MBs of 768-d feature rows that are STATIC for the whole run.
+    Batches are gathered at each batch's own bucket shape (static
+    t_clean/t_noisy), so the loss/update/dropout numerics are EXACTLY the
+    streaming per-batch path's (tests/test_fused_trainer.py pins it)."""
+    from ..dad.train_step import make_dad_train_step
+
+    core = make_dad_train_step(head, tx, cfg)
+
+    def step(state, clean_c: ResidentClips, noisy_c: ResidentClips,
+             clean_idx, noisy_idx, scalars, anchors, key,
+             *, t_clean: int, t_noisy: int,
+             frame_cap: Optional[int] = None):
+        clean = gather_feature_batch(clean_c, clean_idx, t_clean, frame_cap)
+        noisy = gather_feature_batch(noisy_c, noisy_idx, t_noisy, frame_cap)
+        return core(state, clean, noisy, scalars, anchors, key)
+
+    return jax.jit(
+        step,
+        static_argnames=("t_clean", "t_noisy", "frame_cap"),
+        donate_argnums=(0,),
+    )
+
+
+def make_resident_dad_epoch_runner(head, tx, cfg):
+    """Chunked lax.scan over an HBM-resident feature corpus — the resident
+    counterpart of dad/epoch_scan.make_dad_epoch_runner: ONE dispatch per
+    scan chunk AND ~KB of host traffic per chunk.
+
+    run(state, clean_corpus, noisy_corpus, clean_idx (S,B), noisy_idx (S,B),
+        scalars, anchors, key, *, t_pad, frame_cap) -> (state',
+        metrics_mean, tracking_stacked)
+
+    ``t_pad`` is the chunk-common frame count — both streams pad to it,
+    exactly like epoch_scan.stack_batches pads a streamed chunk, and the
+    key splits into S per-step keys exactly like make_dad_epoch_runner, so
+    this path reproduces the streamed scan_chunk path's numerics."""
+    from ..dad.train_step import make_dad_train_step
+
+    core = make_dad_train_step(head, tx, cfg)
+
+    def run(state, clean_c: ResidentClips, noisy_c: ResidentClips,
+            clean_idx, noisy_idx, scalars, anchors, key,
+            *, t_pad: int, frame_cap: Optional[int] = None):
+        def body(carry, xs):
+            st = carry
+            ci, ni, k = xs
+            clean = gather_feature_batch(clean_c, ci, t_pad, frame_cap)
+            noisy = gather_feature_batch(noisy_c, ni, t_pad, frame_cap)
+            st2, metrics, tracking = core(st, clean, noisy, scalars,
+                                          anchors, k)
+            return st2, (metrics, tracking)
+
+        S = clean_idx.shape[0]
+        keys = jax.random.split(key, S)
+        state, (metrics, tracking) = jax.lax.scan(
+            body, state, (clean_idx, noisy_idx, keys)
+        )
+        return state, jax.tree.map(jnp.mean, metrics), tracking
+
+    return jax.jit(
+        run,
+        static_argnames=("t_pad", "frame_cap"),
+        donate_argnums=(0,),
+    )
 
 
 def make_resident_fused_step(

@@ -130,10 +130,25 @@ class CrossDomainTrainer:
         prefetch_depth: int = 2,
         transfer_dtype: Optional[str] = None,
         mesh=None,
+        resident=False,
+        resident_max_bytes: int = 8 << 30,
     ):
         """``scan_chunk > 0`` runs the epoch as lax.scan over chunks of that
         many batches (one device dispatch per chunk instead of per batch) —
         numerically identical to per-batch stepping; see dad/epoch_scan.py.
+
+        ``resident``: True / False / "auto" — commit the fold's training
+        feature corpora (clean + noisy, static for the whole run) to DEVICE
+        memory once and gather batches on-device from per-step index
+        vectors (parallel/resident.py) instead of re-uploading ~MBs of
+        unchanging 768-d rows every step. Composes with ``scan_chunk``
+        (one dispatch AND ~KB of traffic per chunk, the best tunnel
+        configuration); numerics match the corresponding streaming path
+        exactly (per-batch bucket shapes without scan_chunk, chunk-common
+        padding + per-chunk key split with it). "auto" engages when the
+        upload estimate fits ``resident_max_bytes`` and no mesh is given;
+        True with a mesh raises (the dp-sharded feature step streams —
+        use the fused trainer for mesh+resident).
 
         ``prefetch_depth > 0`` assembles + device_puts batch N+1 on a worker
         thread while step N runs (data/prefetch.py); 0 disables.
@@ -151,6 +166,10 @@ class CrossDomainTrainer:
             raise ValueError("scan_chunk is not supported with a mesh "
                              "(per-batch dispatch already amortizes across "
                              "devices)")
+        if mesh is not None and resident is True:
+            raise ValueError("resident=True is not supported with a mesh in "
+                             "the feature-mode trainer (the fused trainer "
+                             "supports mesh+resident)")
         if mesh is not None and cfg.batch_size % mesh.shape.get("dp", 1):
             raise ValueError(
                 f"batch_size={cfg.batch_size} must divide by "
@@ -159,6 +178,8 @@ class CrossDomainTrainer:
         self.cfg = cfg
         self.fold = fold
         self.scan_chunk = scan_chunk
+        self._resident_mode = resident
+        self._resident_max_bytes = resident_max_bytes
         self.prefetch_depth = prefetch_depth
         self.transfer_dtype = transfer_dtype
         self.mesh = mesh
@@ -300,6 +321,46 @@ class CrossDomainTrainer:
 
             self._epoch_runner = make_dad_epoch_runner(self.head, self.tx, self.cfg)
         self._rng = jax.random.PRNGKey(self.cfg.random_seed + 1)
+        self._setup_feature_resident()
+
+    def _setup_feature_resident(self) -> None:
+        """Commits the fold's clean + noisy feature corpora to device memory
+        and builds the gather step/runner (parallel/resident.py), or leaves
+        the streaming path active (resident=False / "auto" over budget /
+        mesh)."""
+        self._resident = None
+        resident = self._resident_mode
+        if resident is False or self.mesh is not None:
+            return
+        from ..parallel.resident import (
+            make_resident_dad_epoch_runner,
+            make_resident_dad_step,
+            resident_from_store,
+            resident_nbytes,
+        )
+
+        clean_sub = self.clean_train.store
+        noisy_sub = self.noisy_train.store
+        est = resident_nbytes(clean_sub) + resident_nbytes(noisy_sub)
+        if resident == "auto" and est > self._resident_max_bytes:
+            logger.info(
+                "resident corpus disabled: estimated %.1f GB > budget "
+                "%.1f GB — streaming batches from host",
+                est / 1e9, self._resident_max_bytes / 1e9,
+            )
+            return
+        self._resident = (
+            resident_from_store(clean_sub),
+            resident_from_store(noisy_sub),
+        )
+        if self.scan_chunk:
+            self._resident_runner = make_resident_dad_epoch_runner(
+                self.head, self.tx, self.cfg
+            )
+        else:
+            self._resident_step = make_resident_dad_step(
+                self.head, self.tx, self.cfg
+            )
 
     # ------------------------------------------------------------------
     def is_warmup(self, epoch: int) -> bool:
@@ -313,7 +374,9 @@ class CrossDomainTrainer:
         )
         totals = defaultdict(float)
         n = 0
-        if self._epoch_runner is not None:
+        if self._resident is not None:
+            n = self._run_epoch_resident(epoch, scalars, totals)
+        elif self._epoch_runner is not None:
             n = self._run_epoch_scanned(epoch, scalars, totals)
         else:
             pairs = prefetch(
@@ -404,6 +467,90 @@ class CrossDomainTrainer:
                 for s in range(m):
                     self._log_tracked(
                         epoch, {key_: v[s] for key_, v in host.items()}
+                    )
+        return n
+
+    def _run_epoch_resident(self, epoch, scalars, totals) -> int:
+        """Device-resident epoch: the host ships only (B,) index vectors +
+        keys per step (or (S,B) per scan chunk); feature batches are
+        gathered from HBM inside the step. Metric/tracking materialization
+        is deferred to epoch end so dispatches pipeline instead of paying a
+        host round-trip per step — values identical to the corresponding
+        streaming path (same float() sums in the same order, just later)."""
+        if self.scan_chunk:
+            return self._run_epoch_resident_scanned(epoch, scalars, totals)
+        from ..parallel.resident import (
+            materialize_metrics,
+            materialize_tracking,
+            paired_index_epoch,
+        )
+
+        clean_c, noisy_c = self._resident
+        cap = self.clean_train.max_frames
+        deferred_m, deferred_t = [], []
+        track = (self.tracked_sample_indices is not None
+                 and not self.is_warmup(epoch))
+        for (cidx, t_c), (nidx, t_n) in paired_index_epoch(
+            self.clean_train, self.noisy_train, epoch
+        ):
+            self._rng, key = jax.random.split(self._rng)
+            self.state, metrics, tracking = self._resident_step(
+                self.state, clean_c, noisy_c, jnp.asarray(cidx),
+                jnp.asarray(nidx), scalars, self.anchors, key,
+                t_clean=t_c, t_noisy=t_n, frame_cap=cap,
+            )
+            deferred_m.append(metrics)
+            if track:
+                deferred_t.append(tracking)
+        mkeys = ("total_loss", "supervised_ce_loss", "consistency_loss",
+                 "ecda_loss")
+        vals = materialize_metrics(deferred_m, mkeys)
+        for row in vals:
+            for k, v in zip(mkeys, row):
+                totals[k] += float(v)
+        for tracking in materialize_tracking(deferred_t):
+            self._log_tracked(epoch, tracking)
+        return len(deferred_m)
+
+    def _run_epoch_resident_scanned(self, epoch, scalars, totals) -> int:
+        """Chunked-scan flavor of the resident epoch: one dispatch AND ~KB
+        of host traffic per scan_chunk batches; numerics match the streamed
+        scanned path (_run_epoch_scanned) exactly — same chunk-common
+        padding, same per-chunk key split."""
+        from ..parallel.resident import paired_index_epoch
+
+        clean_c, noisy_c = self._resident
+        cap = self.clean_train.max_frames
+        n = 0
+        buf = []
+        deferred = []
+        n_pairs = min(len(self.clean_train), len(self.noisy_train))
+        for i, pair in enumerate(paired_index_epoch(
+            self.clean_train, self.noisy_train, epoch
+        )):
+            buf.append(pair)
+            if len(buf) == self.scan_chunk or i == n_pairs - 1:
+                t_pad = max(t for p in buf for (_idx, t) in p)
+                cidx = np.stack([c for (c, _), _ in buf])
+                nidx = np.stack([m for _, (m, _) in buf])
+                self._rng, key = jax.random.split(self._rng)
+                self.state, metrics, tracking = self._resident_runner(
+                    self.state, clean_c, noisy_c, jnp.asarray(cidx),
+                    jnp.asarray(nidx), scalars, self.anchors, key,
+                    t_pad=t_pad, frame_cap=cap,
+                )
+                deferred.append((len(buf), metrics, tracking))
+                buf = []
+        for m, metrics, tracking in deferred:
+            for k in ("total_loss", "supervised_ce_loss",
+                      "consistency_loss", "ecda_loss"):
+                totals[k] += float(metrics[k]) * m
+            n += m
+            if self.tracked_sample_indices and not self.is_warmup(epoch):
+                host = {k_: np.asarray(v) for k_, v in tracking.items()}
+                for s in range(m):
+                    self._log_tracked(
+                        epoch, {k_: v[s] for k_, v in host.items()}
                     )
         return n
 
@@ -646,6 +793,7 @@ def run_cv(
     prefetch_depth: int = 2,
     transfer_dtype: Optional[str] = None,
     mesh=None,
+    resident=False,
 ) -> Dict:
     """Full K-fold cross-validation sweep with an aggregate summary report.
 
@@ -670,6 +818,7 @@ def run_cv(
                 prefetch_depth=prefetch_depth,
                 transfer_dtype=transfer_dtype,
                 mesh=mesh,
+                resident=resident,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

@@ -502,8 +502,12 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         same order, just later)."""
         clean_c, wav_c = self._resident
         frame_cap = self.clean_train.max_frames
-        per_step = []
-        from ..parallel.resident import paired_index_epoch
+        per_step, per_track = [], []
+        from ..parallel.resident import (
+            materialize_metrics,
+            materialize_tracking,
+            paired_index_epoch,
+        )
 
         for (cidx, t_c), (widx, t_w) in paired_index_epoch(
             self.clean_train, self.noisy_wav_train, epoch
@@ -518,13 +522,19 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
                 *args, t_clean=t_c, t_wav=t_w, frame_cap=frame_cap
             )
             per_step.append(metrics)
-        totals = defaultdict(float)
-        for metrics in per_step:
-            for k in ("total_loss", "supervised_ce_loss", "consistency_loss",
-                      "ecda_loss"):
-                totals[k] += float(metrics[k])
             if "tracking" in metrics:
-                self._log_tracked(epoch, metrics["tracking"])
+                per_track.append(metrics["tracking"])
+        totals = defaultdict(float)
+        mkeys = ("total_loss", "supervised_ce_loss", "consistency_loss",
+                 "ecda_loss")
+        # one stacked device->host pull for the epoch's metric scalars (and
+        # one per tracking key) instead of a latency-bound round trip per
+        # float(): see parallel/resident.py materialize_metrics
+        for row in materialize_metrics(per_step, mkeys):
+            for k, v in zip(mkeys, row):
+                totals[k] += float(v)
+        for tracking in materialize_tracking(per_track):
+            self._log_tracked(epoch, tracking)
         self._epoch_end_dacp(epoch)
         return {k: v / max(len(per_step), 1) for k, v in totals.items()}
 

@@ -133,3 +133,133 @@ def test_trainer_scan_mode_matches_loop_mode(tmp_path, monkeypatch, rng):
         rtol=0.15,
     )
     assert len(t_scan.training_history["dacp_ema_thresholds"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# device-resident feature corpus (parallel/resident.py, round 4)
+
+
+def _resident_pair_setup(tmp_path):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data import (
+        load_feature_store,
+    )
+    from helpers import make_iemocap_dir
+
+    LM = {"ang": 0, "hap": 1, "neu": 2, "sad": 3}
+    cd, *_ = make_iemocap_dir(tmp_path / "c", n=60, dim=12)
+    nd, *_ = make_iemocap_dir(tmp_path / "n", n=60, dim=12, seed=1)
+    cfg = dad_preset(
+        "iemocap", input_dim=12, hidden_dim=8, batch_size=16, epochs=3,
+        warmup_epochs=1, ecda_start_epoch=1, validation_interval=1,
+        noisy_data_dir="x/root1-babble-10db", length_buckets=(8, 16, 32),
+        num_tracked_samples=8,  # < fold train size so the bias log engages
+    )
+    return cfg, load_feature_store(cd, LM), load_feature_store(nd, LM)
+
+
+def test_trainer_resident_matches_streaming(tmp_path, monkeypatch):
+    """Feature-mode resident path == per-batch streaming, value for value:
+    the gather step uses each batch's own bucket shape and the same per-step
+    key stream, so losses, params, DACP state, and the bias log all match."""
+    monkeypatch.chdir(tmp_path)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        CrossDomainTrainer,
+    )
+
+    cfg, clean, noisy = _resident_pair_setup(tmp_path)
+
+    def build(resident, tag):
+        return CrossDomainTrainer(
+            cfg, fold=0, experiment_name=tag, clean_store=clean,
+            noisy_store=noisy, prefetch_depth=0, resident=resident,
+        )
+
+    stream = build(False, "stream")
+    res = build(True, "res")
+    assert stream._resident is None and res._resident is not None
+
+    for epoch in (0, 1):  # warmup + post-warmup (DACP/ECDA/EMA/tracking)
+        a = stream.train_epoch(epoch)
+        b = res.train_epoch(epoch)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=f"epoch {epoch} {k}")
+
+    for pa, pb in zip(jax.tree.leaves(stream.state.ssrl.student),
+                      jax.tree.leaves(res.state.ssrl.student)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)
+    for da, db in zip(jax.tree.leaves(stream.state.dacp),
+                      jax.tree.leaves(res.state.dacp)):
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-6, atol=1e-7)
+    assert stream.bias_analysis_log == res.bias_analysis_log
+    assert len(res.bias_analysis_log) > 0
+
+
+def test_trainer_resident_scanned_matches_streamed_scan(tmp_path, monkeypatch):
+    """Resident + scan_chunk == the streamed scan_chunk path: same
+    chunk-common padding and per-chunk key split; only upload-vs-gather
+    differs."""
+    monkeypatch.chdir(tmp_path)
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        CrossDomainTrainer,
+    )
+
+    cfg, clean, noisy = _resident_pair_setup(tmp_path)
+
+    def build(resident, tag):
+        return CrossDomainTrainer(
+            cfg, fold=0, experiment_name=tag, clean_store=clean,
+            noisy_store=noisy, prefetch_depth=0, scan_chunk=2,
+            resident=resident,
+        )
+
+    stream = build(False, "sc_stream")
+    res = build(True, "sc_res")
+    assert res._resident is not None and res._resident_runner is not None
+
+    for epoch in (0, 1):
+        a = stream.train_epoch(epoch)
+        b = res.train_epoch(epoch)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=f"epoch {epoch} {k}")
+    for pa, pb in zip(jax.tree.leaves(stream.state.ssrl.student),
+                      jax.tree.leaves(res.state.ssrl.student)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+    assert stream.bias_analysis_log == res.bias_analysis_log
+
+
+def test_trainer_resident_guards(tmp_path, monkeypatch):
+    """'auto' over budget falls back to streaming; resident=True with a
+    mesh raises."""
+    monkeypatch.chdir(tmp_path)
+    import pytest as _pytest
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train import (
+        CrossDomainTrainer,
+    )
+
+    cfg, clean, noisy = _resident_pair_setup(tmp_path)
+    t = CrossDomainTrainer(
+        cfg, fold=0, experiment_name="auto_budget", clean_store=clean,
+        noisy_store=noisy, prefetch_depth=0, resident="auto",
+        resident_max_bytes=16,
+    )
+    assert t._resident is None
+    avg = t.train_epoch(0)
+    assert np.isfinite(avg["total_loss"])
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+    )
+
+    mesh = make_mesh(8, tp=1, axis_names=("dp",))
+    with _pytest.raises(ValueError, match="resident"):
+        CrossDomainTrainer(
+            cfg, fold=0, experiment_name="mesh_res", clean_store=clean,
+            noisy_store=noisy, mesh=mesh, resident=True,
+        )
