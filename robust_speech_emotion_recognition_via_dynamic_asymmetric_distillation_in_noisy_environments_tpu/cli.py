@@ -280,6 +280,9 @@ def _cmd_dad_fused(args):
         mesh=mesh,
         transfer_dtype=args.transfer_dtype,
         resident={"auto": "auto", "on": True, "off": False}[args.resident],
+        # scan over the resident corpus: one dispatch per chunk (mesh runs
+        # per-batch, matching the feature trainer's restriction)
+        scan_chunk=0 if mesh is not None else args.scan_chunk,
     )
     if args.fold == "all":
         run_fused_cv(cfg, args.from_wav, enc_cfg, enc_params, **common)
@@ -781,7 +784,9 @@ def main(argv=None) -> int:
     p.add_argument("--name", default=None)
     p.add_argument("--scan-chunk", type=int, default=4,
                    help="batches per lax.scan dispatch (0 = per-batch steps); "
-                        "4 measured best at IEMOCAP scale, see PERFORMANCE.md")
+                        "4 measured best at IEMOCAP scale, see PERFORMANCE.md."
+                        " In --from-wav mode this scans the RESIDENT corpus "
+                        "(inert with --resident off); ignored under --dp/--tp")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="batches assembled ahead on a worker thread (0 = sync)")
     p.add_argument("--transfer-dtype", default=None,

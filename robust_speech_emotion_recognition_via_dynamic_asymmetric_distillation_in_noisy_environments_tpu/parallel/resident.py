@@ -318,6 +318,36 @@ def make_resident_dad_epoch_runner(head, tx, cfg):
     )
 
 
+def _gather_fused_pair(clean_c: ResidentClips, wav_c: ResidentClips,
+                       clean_idx, noisy_idx, t_clean: int, t_wav: int,
+                       frame_cap, mesh, dp2, dp3):
+    """On-device assembly of one fused (clean features, noisy wavs) batch
+    pair from HBM-resident corpora — the shared prologue of
+    make_resident_fused_step and make_resident_fused_epoch_runner."""
+    feats, fmask = gather_clips(clean_c, clean_idx, t_clean, frame_cap)
+    feats = feats.astype(jnp.float32)
+    labels = jnp.where(
+        clean_idx >= 0, clean_c.labels[jnp.maximum(clean_idx, 0)], -1
+    )
+    wav, wmask = gather_clips(wav_c, noisy_idx, t_wav)
+    if mesh is not None:
+        feats = jax.lax.with_sharding_constraint(feats, dp3)
+        fmask = jax.lax.with_sharding_constraint(fmask, dp2)
+        wav = jax.lax.with_sharding_constraint(wav, dp2)
+        wmask = jax.lax.with_sharding_constraint(wmask, dp2)
+    clean = CleanFeatureBatch(
+        feats=feats, frame_mask=fmask, labels=labels,
+        row_valid=clean_idx >= 0,
+    )
+    noisy = FusedBatch(
+        wav=wav.astype(jnp.float32), wav_mask=wmask,
+        labels=jnp.full_like(noisy_idx, -1),
+        row_valid=noisy_idx >= 0,
+        ids=noisy_idx,
+    )
+    return clean, noisy
+
+
 def make_resident_fused_step(
     encoder,
     head,
@@ -346,24 +376,9 @@ def make_resident_fused_step(
     def step(enc_params, state, clean_c: ResidentClips, wav_c: ResidentClips,
              clean_idx, noisy_idx, scalars, anchors, key, noise_bank=None,
              *, t_clean: int, t_wav: int, frame_cap: Optional[int] = None):
-        feats, fmask = gather_clips(clean_c, clean_idx, t_clean, frame_cap)
-        feats = feats.astype(jnp.float32)
-        labels = jnp.where(clean_idx >= 0, clean_c.labels[jnp.maximum(clean_idx, 0)], -1)
-        wav, wmask = gather_clips(wav_c, noisy_idx, t_wav)
-        if mesh is not None:
-            feats = jax.lax.with_sharding_constraint(feats, dp3)
-            fmask = jax.lax.with_sharding_constraint(fmask, dp2)
-            wav = jax.lax.with_sharding_constraint(wav, dp2)
-            wmask = jax.lax.with_sharding_constraint(wmask, dp2)
-        clean = CleanFeatureBatch(
-            feats=feats, frame_mask=fmask, labels=labels,
-            row_valid=clean_idx >= 0,
-        )
-        noisy = FusedBatch(
-            wav=wav.astype(jnp.float32), wav_mask=wmask,
-            labels=jnp.full_like(noisy_idx, -1),
-            row_valid=noisy_idx >= 0,
-            ids=noisy_idx,
+        clean, noisy = _gather_fused_pair(
+            clean_c, wav_c, clean_idx, noisy_idx, t_clean, t_wav, frame_cap,
+            mesh, dp2, dp3,
         )
         return core(enc_params, state, clean, noisy, scalars, anchors, key,
                     noise_bank)
@@ -373,3 +388,84 @@ def make_resident_fused_step(
         static_argnames=("t_clean", "t_wav", "frame_cap"),
         donate_argnums=(1,),
     )
+
+
+def make_resident_fused_epoch_runner(
+    encoder,
+    head,
+    tx,
+    cfg: FusedConfig,
+    mesh=None,
+):
+    """Chunked lax.scan over the fused wav->train step with HBM-resident
+    corpora — ONE dispatch (and ~KB of host traffic) per scan chunk instead
+    of one per step.
+
+    run(enc_params, state, clean_corpus, wav_corpus, clean_idx (S,B),
+        noisy_idx (S,B), scalars, anchors, key[, noise_bank],
+        *, t_clean, t_wav[, frame_cap]) -> (state', metrics_stacked)
+
+    The per-step resident path still pays ~3-4 dispatch round trips per step
+    (key split, index upload, step call), which on a tunnel-attached chip is
+    ~0.1 s of pure latency against ~33 ms of device math (PERFORMANCE.md
+    round 4) — the same diagnosis dad/epoch_scan.py makes for the
+    feature-level step. Scanning S steps in one XLA program amortizes that
+    to ~4 RPCs per chunk. Every step in the chunk pads to the chunk-common
+    (t_clean, t_wav) buckets (both are maxima of bucket-snapped values, so
+    the compile-count bound is the bucket table's), and the chunk key splits
+    into S per-step keys exactly like make_dad_epoch_runner / the resident
+    feature runner; scan-of-1 therefore differs from the per-step path only
+    in the key derivation. metrics come back stacked (S, ...) so the
+    trainer's epoch averages see exactly the per-step values.
+    """
+    if not cfg.cache_clean_features:
+        raise ValueError("resident mode requires cache_clean_features "
+                         "(the production fused-trainer configuration)")
+    core = build_fused_step(encoder, head, tx, cfg)
+    dp2 = batch_sharding(mesh, 2) if mesh is not None else None
+    dp3 = batch_sharding(mesh, 3) if mesh is not None else None
+
+    def run(enc_params, state, clean_c: ResidentClips, wav_c: ResidentClips,
+            clean_idx, noisy_idx, scalars, anchors, key, noise_bank=None,
+            *, t_clean: int, t_wav: int, frame_cap: Optional[int] = None):
+        def body(carry, xs):
+            st = carry
+            ci, ni, k = xs
+            clean, noisy = _gather_fused_pair(
+                clean_c, wav_c, ci, ni, t_clean, t_wav, frame_cap,
+                mesh, dp2, dp3,
+            )
+            st2, metrics = core(enc_params, st, clean, noisy, scalars,
+                                anchors, k, noise_bank)
+            return st2, metrics
+
+        S = clean_idx.shape[0]
+        keys = jax.random.split(key, S)
+        state, metrics = jax.lax.scan(
+            body, state, (clean_idx, noisy_idx, keys)
+        )
+        return state, metrics
+
+    return jax.jit(
+        run,
+        static_argnames=("t_clean", "t_wav", "frame_cap"),
+        donate_argnums=(1,),
+    )
+
+
+def materialize_chunked_metrics(per_chunk, keys) -> np.ndarray:
+    """materialize_metrics for scan chunks: each entry holds (S_chunk,)
+    stacked metric arrays; returns (S_total, K) float32 in step order with
+    ONE device->host transfer."""
+    if not per_chunk:
+        return np.zeros((0, len(keys)), np.float32)
+    cat = jnp.stack(
+        [
+            jnp.concatenate(
+                [jnp.asarray(m[k], jnp.float32).reshape(-1) for m in per_chunk]
+            )
+            for k in keys
+        ],
+        axis=1,
+    )
+    return np.asarray(cat)

@@ -286,6 +286,7 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         extract_buckets: Optional[Sequence[int]] = None,
         resident="auto",
         resident_max_bytes: int = 8 << 30,
+        scan_chunk: int = 0,
     ):
         """``transfer_dtype`` (e.g. "bfloat16"): ship the f32 wav + cached
         clean-feature batches to the device in this dtype and upcast on
@@ -308,9 +309,21 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         ``resident_max_bytes`` (IEMOCAP's largest fold is ~3 GB vs 16 GB
         HBM). Semantics are identical to streaming (equivalence-tested);
         feature storage is bf16 when the encoder is bf16 (lossless — the
-        f32 feature values are bf16-representable), f32 otherwise."""
+        f32 feature values are bf16-representable), f32 otherwise.
+
+        ``scan_chunk > 0`` (resident mode only): run each training epoch as
+        lax.scan chunks of that many steps — one XLA dispatch AND one
+        ~KB index upload per chunk instead of ~4 latency-bound RPCs per
+        step (parallel/resident.py make_resident_fused_epoch_runner).
+        Chunks pad to chunk-common (t_clean, t_wav) buckets and the chunk
+        key splits into per-step keys, exactly like the feature trainer's
+        scan_chunk mode; same restriction too: single-device only."""
         fused_cfg = _normalize_fused_cfg(cfg, encoder_cfg, fused_cfg,
                                          noise_root)
+        if mesh is not None and scan_chunk:
+            raise ValueError("scan_chunk is not supported with a mesh "
+                             "(per-batch dispatch keeps dp/tp shardings "
+                             "simple); pass scan_chunk=0")
         if mesh is not None and transfer_dtype:
             logger.warning(
                 "transfer_dtype=%s ignored: the fused step's mesh "
@@ -398,12 +411,14 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self._fused_step = make_fused_extract_train_step(
             self.extractor.model, self.head, self.tx, self.fused_cfg, mesh
         )
+        self.fused_scan_chunk = scan_chunk
         self._setup_resident(resident, resident_max_bytes)
 
     def _setup_resident(self, resident, resident_max_bytes: int) -> None:
-        """Builds the device-resident corpus + gather step (or leaves the
-        streaming path active when disabled / too large)."""
+        """Builds the device-resident corpus + gather step/runner (or leaves
+        the streaming path active when disabled / too large)."""
         from ..parallel.resident import (
+            make_resident_fused_epoch_runner,
             make_resident_fused_step,
             resident_from_store,
             resident_nbytes,
@@ -411,6 +426,12 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
 
         self._resident = None
         if resident is False:
+            if self.fused_scan_chunk:
+                logger.warning(
+                    "scan_chunk=%d is inert without the resident corpus "
+                    "(fused scan runs over HBM-resident clips only)",
+                    self.fused_scan_chunk,
+                )
             return
         clean_sub = self.clean_train.store
         wav_sub = self.noisy_wav_train.store
@@ -421,18 +442,27 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         if resident == "auto" and est > resident_max_bytes:
             logger.info(
                 "resident corpus disabled: estimated %.1f GB > budget %.1f GB"
-                " — streaming batches from host", est / 1e9,
+                " — streaming batches from host%s", est / 1e9,
                 resident_max_bytes / 1e9,
+                (f" (scan_chunk={self.fused_scan_chunk} inert: fused scan "
+                 "runs over HBM-resident clips only)")
+                if self.fused_scan_chunk else "",
             )
             return
         self._resident = (
             resident_from_store(clean_sub, mesh=self.mesh, dtype=feat_dtype),
             resident_from_store(wav_sub, mesh=self.mesh, labeled=False),
         )
-        self._resident_step = make_resident_fused_step(
-            self.extractor.model, self.head, self.tx, self.fused_cfg,
-            self.mesh,
-        )
+        if self.fused_scan_chunk:
+            self._resident_runner = make_resident_fused_epoch_runner(
+                self.extractor.model, self.head, self.tx, self.fused_cfg,
+                self.mesh,
+            )
+        else:
+            self._resident_step = make_resident_fused_step(
+                self.extractor.model, self.head, self.tx, self.fused_cfg,
+                self.mesh,
+            )
 
     # ------------------------------------------------------------------
     def _paired_fused_epoch(self, epoch: int):
@@ -500,6 +530,8 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         dispatches pipeline instead of paying a host round-trip per step
         (values identical to the streaming path — same float() sums in the
         same order, just later)."""
+        if self.fused_scan_chunk:
+            return self._train_epoch_resident_scanned(epoch, scalars)
         clean_c, wav_c = self._resident
         frame_cap = self.clean_train.max_frames
         per_step, per_track = [], []
@@ -538,6 +570,61 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
         self._epoch_end_dacp(epoch)
         return {k: v / max(len(per_step), 1) for k, v in totals.items()}
 
+    def _train_epoch_resident_scanned(self, epoch: int, scalars):
+        """Chunked-scan flavor of the resident fused epoch: one dispatch AND
+        one ~KB (S, B) index upload per scan_chunk steps (the fused analogue
+        of CrossDomainTrainer._run_epoch_resident_scanned). Chunks pad both
+        streams to chunk-common buckets; the per-step resident path's ~4
+        latency-bound RPCs per step drop to ~4 per chunk."""
+        from ..parallel.resident import (
+            materialize_chunked_metrics,
+            paired_index_epoch,
+        )
+
+        clean_c, wav_c = self._resident
+        frame_cap = self.clean_train.max_frames
+        deferred = []
+        buf = []
+        n_pairs = min(len(self.clean_train), len(self.noisy_wav_train))
+        for i, pair in enumerate(paired_index_epoch(
+            self.clean_train, self.noisy_wav_train, epoch
+        )):
+            buf.append(pair)
+            if len(buf) == self.fused_scan_chunk or i == n_pairs - 1:
+                t_c = max(t for (_idx, t), _ in buf)
+                t_w = max(t for _, (_idx, t) in buf)
+                cidx = np.stack([c for (c, _), _ in buf])
+                widx = np.stack([w for _, (w, _) in buf])
+                self._rng, key = jax.random.split(self._rng)
+                args = (self.enc_params, self.state, clean_c, wav_c,
+                        jnp.asarray(cidx), jnp.asarray(widx), scalars,
+                        self.anchors, key, self._noise_bank)
+                self.state, metrics = self._resident_runner(
+                    *args, t_clean=t_c, t_wav=t_w, frame_cap=frame_cap
+                )
+                deferred.append((len(buf), metrics))
+                buf = []
+        totals = defaultdict(float)
+        n = 0
+        mkeys = ("total_loss", "supervised_ce_loss", "consistency_loss",
+                 "ecda_loss")
+        # one stacked device->host pull for all chunks' per-step scalars
+        for row in materialize_chunked_metrics(
+            [m for _, m in deferred], mkeys
+        ):
+            for k, v in zip(mkeys, row):
+                totals[k] += float(v)
+        for m, metrics in deferred:
+            n += m
+            if "tracking" in metrics:
+                host = {k: np.asarray(v) for k, v in metrics["tracking"].items()}
+                for s in range(m):
+                    self._log_tracked(
+                        epoch, {k: v[s] for k, v in host.items()}
+                    )
+        self._epoch_end_dacp(epoch)
+        return {k: v / max(n, 1) for k, v in totals.items()}
+
 
 def run_fused_cv(
     cfg: DADConfig,
@@ -553,6 +640,7 @@ def run_fused_cv(
     mesh=None,
     transfer_dtype: Optional[str] = None,
     resident="auto",
+    scan_chunk: int = 0,
 ) -> Dict:
     """K-fold sweep for the fused trainer (run_cv counterpart)."""
     import re
@@ -588,6 +676,7 @@ def run_fused_cv(
                 transfer_dtype=transfer_dtype,
                 shared=shared,
                 resident=resident,
+                scan_chunk=scan_chunk,
             )
             trainer.train()
             all_results.append(trainer.final_summary())

@@ -648,6 +648,116 @@ def test_resident_corpus_matches_streaming(corpus, tmp_path):
     assert len(res.bias_analysis_log) > 0
 
 
+def test_fused_resident_scanned_matches_per_step(corpus, tmp_path):
+    """make_resident_fused_epoch_runner == a per-step make_resident_fused_step
+    loop, value for value, given the same per-step keys and the same
+    chunk-common (t_clean, t_wav) padding — scan changes dispatch cadence,
+    not numerics."""
+    import jax.numpy as jnp
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.dad import (
+        StepScalars,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        make_resident_fused_epoch_runner,
+        make_resident_fused_step,
+        paired_index_epoch,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+        prepare_fused_shared,
+    )
+
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    fused = FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+    shared = prepare_fused_shared(cfg, corpus, TINY_ENC, tiny_enc_params(),
+                                  fused, None)
+    t = FusedCrossDomainTrainer(
+        cfg, corpus, TINY_ENC, tiny_enc_params(), fused_cfg=fused,
+        fold=0, prefetch_depth=0, wav_buckets=(8000,), shared=shared,
+        resident=True,
+    )
+    step = t._resident_step
+    runner = make_resident_fused_epoch_runner(
+        t.extractor.model, t.head, t.tx, t.fused_cfg
+    )
+    clean_c, wav_c = t._resident
+    cap = t.clean_train.max_frames
+    pairs = list(paired_index_epoch(t.clean_train, t.noisy_wav_train, 1))[:4]
+    S = len(pairs)
+    assert S >= 2
+    t_c = max(tc for (_i, tc), _ in pairs)
+    t_w = max(tw for _, (_i, tw) in pairs)
+    scalars = StepScalars.for_epoch(cfg, 1)  # post-warmup: DACP/ECDA active
+    key = jax.random.PRNGKey(3)
+    keys = jax.random.split(key, S)
+
+    copy = lambda tree: jax.tree.map(jnp.array, tree)  # noqa: E731 (donated)
+    s_loop = copy(t.state)
+    loop_metrics = []
+    for i, ((ci, _tc), (wi, _tw)) in enumerate(pairs):
+        s_loop, m = step(
+            t.enc_params, s_loop, clean_c, wav_c, jnp.asarray(ci),
+            jnp.asarray(wi), scalars, t.anchors, keys[i], None,
+            t_clean=t_c, t_wav=t_w, frame_cap=cap,
+        )
+        loop_metrics.append(float(m["total_loss"]))
+
+    cidx = jnp.asarray(np.stack([c for (c, _), _ in pairs]))
+    widx = jnp.asarray(np.stack([w for _, (w, _) in pairs]))
+    s_scan, metrics = runner(
+        t.enc_params, copy(t.state), clean_c, wav_c, cidx, widx, scalars,
+        t.anchors, key, None, t_clean=t_c, t_wav=t_w, frame_cap=cap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics["total_loss"]), loop_metrics, rtol=2e-5
+    )
+    for pa, pb in zip(jax.tree.leaves(s_loop.ssrl.student),
+                      jax.tree.leaves(s_scan.ssrl.student)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-6)
+    for da, db in zip(jax.tree.leaves(s_loop.dacp),
+                      jax.tree.leaves(s_scan.dacp)):
+        np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_fused_trainer_scan_chunk_end_to_end(corpus, tmp_path):
+    """FusedCrossDomainTrainer(scan_chunk>0) trains through the chunked
+    runner end to end (trailing short chunk included) and produces the
+    standard report set; mesh + scan_chunk is rejected."""
+    cfg = _dad_cfg(tmp_path, epochs=3)
+    fused = FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+    t = FusedCrossDomainTrainer(
+        cfg, corpus, TINY_ENC, tiny_enc_params(), fused_cfg=fused,
+        fold=0, prefetch_depth=0, wav_buckets=(8000,),
+        resident=True, scan_chunk=3,  # 8 steps/epoch -> 3+3+2 chunks
+    )
+    assert t._resident is not None and t._resident_runner is not None
+    t.train()
+    assert np.isfinite(t.best_noisy_weighted_acc)
+    rep = os.path.join(
+        cfg.results_base_dir,
+        [d for d in os.listdir(cfg.results_base_dir)][0],
+    )
+    names = []
+    for root, _d, files in os.walk(rep):
+        names += files
+    assert any(n.startswith("BEST_detailed_results") for n in names)
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        make_mesh,
+    )
+
+    with pytest.raises(ValueError, match="scan_chunk"):
+        FusedCrossDomainTrainer(
+            cfg, corpus, TINY_ENC, tiny_enc_params(), fused_cfg=fused,
+            fold=0, mesh=make_mesh(2, tp=1, axis_names=("dp",)),
+            scan_chunk=2,
+        )
+
+
 def test_resident_auto_budget_fallback(corpus, tmp_path):
     """'auto' falls back to streaming when the estimate exceeds the HBM
     budget (VERDICT r3 item 2: 'fall back to streaming when the corpus

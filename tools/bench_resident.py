@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=3,
                     help="timed steady-state epochs per trainer per order")
+    ap.add_argument("--scan-chunk", type=int, default=8,
+                    help="steps per dispatch for the resident_scan variant")
     args = ap.parse_args()
 
     import jax
@@ -106,7 +108,7 @@ def main():
     print(f"shared startup (decode + 2 extraction passes): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    def build(resident, sub, transfer_dtype=None):
+    def build(resident, sub, transfer_dtype=None, scan_chunk=0):
         c = dad_preset(
             "emodb", batch_size=args.batch, epochs=500, warmup_epochs=1,
             ecda_start_epoch=1, validation_interval=10_000,
@@ -118,13 +120,14 @@ def main():
                                   inject_snr_db=10.0,
                                   cache_clean_features=True),
             fold=0, prefetch_depth=2, shared=shared, resident=resident,
-            transfer_dtype=transfer_dtype,
+            transfer_dtype=transfer_dtype, scan_chunk=scan_chunk,
         )
 
     trainers = {
         "stream_f32": build(False, "s32"),
         "stream_bf16": build(False, "s16", transfer_dtype="bfloat16"),
         "resident": build(True, "res"),
+        "resident_scan": build(True, "rscan", scan_chunk=args.scan_chunk),
     }
     n_steps = {k: min(len(t.clean_train), len(t.noisy_wav_train))
                for k, t in trainers.items()}
