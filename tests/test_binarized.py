@@ -102,6 +102,7 @@ def test_packed_guards(tmp_path):
         BinarizedWavDataset([out], tiny_pcfg(min_sample_size=0))
 
 
+@pytest.mark.slow
 def test_cli_pack_and_binarized_pretrain(tmp_path):
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
         main,

@@ -37,6 +37,7 @@ TINY_JSON = json.dumps(
 )
 
 
+@pytest.mark.slow
 def test_full_cli_pipeline(tmp_path, monkeypatch, rng):
     monkeypatch.chdir(tmp_path)
 
@@ -180,6 +181,7 @@ def test_sensitivity_cli(tmp_path, monkeypatch):
     assert all("error" not in r for r in results), results
 
 
+@pytest.mark.slow
 def test_ablation_multi_noise_cli(tmp_path, monkeypatch):
     """`cli ablation --multi-noise dir1,dir2` (feature mode): the
     run_granular_ablations*.py main loop through the CLI — per-experiment

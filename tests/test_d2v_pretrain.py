@@ -549,6 +549,7 @@ def test_run_d2v_pretrain_smoke(tmp_path):
     assert "block_0" in params["params"]
 
 
+@pytest.mark.slow
 def test_run_d2v_pretrain_rbg_and_resume(tmp_path, monkeypatch):
     """rng_impl='rbg' (the TPU-fast generator, PERFORMANCE.md round 3):
     the driver trains, and a crash-interrupted run resumed from the
@@ -627,6 +628,7 @@ def test_split_chunk_keys_matches_iterated_splits():
         )
 
 
+@pytest.mark.slow
 def test_run_d2v_pretrain_scan_chunk_matches_per_step(tmp_path):
     """scan_chunk=3 over 7 steps (two full chunks + a partial one) produces
     a bit-identical history to the per-step run — one XLA dispatch per
@@ -657,6 +659,7 @@ def test_run_d2v_pretrain_scan_chunk_matches_per_step(tmp_path):
             assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key, ea, eb)
 
 
+@pytest.mark.slow
 def test_run_d2v_pretrain_validation_tracks_best(tmp_path):
     """--valid-manifests: periodic masked-objective validation (fairseq
     validate()/checkpoint_best analogue) — valid_loss history entries on
@@ -745,6 +748,7 @@ def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_resume_from_exact_epoch_boundary(tmp_path, monkeypatch):
     """A checkpoint saved on the last batch of an epoch must resume into
     the NEXT epoch, not die with a spurious 'produced no batches' error
@@ -851,6 +855,7 @@ def test_wav_crop_dataset_fractional_weights(tmp_path):
         WavCropDataset([d], pcfg, weights=[0.0])
 
 
+@pytest.mark.slow
 def test_run_d2v_pretrain_resume_continues_run(tmp_path, monkeypatch):
     """--resume continues the interrupted run: rng/epoch/history restored,
     so the resumed half reproduces the uninterrupted run exactly.
@@ -912,6 +917,7 @@ def test_run_d2v_pretrain_resume_continues_run(tmp_path, monkeypatch):
         assert abs(a["loss"] - b["loss"]) < 1e-5, (a["step"], a, b)
 
 
+@pytest.mark.slow
 def test_run_d2v_pretrain_dp_mesh_matches_single(tmp_path):
     """run_d2v_pretrain(mesh=dp8) reproduces the single-device run — the
     mesh-wired DRIVER capability (cli d2v-pretrain --dp)."""

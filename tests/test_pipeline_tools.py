@@ -538,6 +538,7 @@ def test_profiler_trace_smoke(tmp_path):
     assert glob.glob(str(tmp_path / "tr" / "**" / "*.xplane.pb"), recursive=True)
 
 
+@pytest.mark.slow
 def test_noise_grid_preprocess_with_extraction(tmp_path, rng):
     """The checkpoint branch of run_noise_grid: the encoder loads ONCE for
     the whole grid, each condition gets a features-{name} store readable by
