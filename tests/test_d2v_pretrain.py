@@ -281,6 +281,7 @@ def tiny_state():
     return cfg, pcfg, model, tx, state
 
 
+@pytest.mark.slow
 def test_train_step_learns_and_updates_ema(tiny_state, rng):
     cfg, pcfg, model, tx, state = tiny_state
     # the step donates its input state; copy so the module-scoped fixture
@@ -308,6 +309,7 @@ def test_train_step_learns_and_updates_ema(tiny_state, rng):
     assert max(flat) > 0 and max(flat) < 0.5
 
 
+@pytest.mark.slow
 def test_mask_channel_prob_masks_channels_and_is_live(tiny_state, rng):
     """mask_channel_prob (base.py:456-469): span-masked channels are zeroed
     with an exact per-row count, and turning the knob on changes the step."""
@@ -336,6 +338,7 @@ def test_mask_channel_prob_masks_channels_and_is_live(tiny_state, rng):
     assert losses[0.0] != losses[0.5]
 
 
+@pytest.mark.slow
 def test_whole_model_ema_teacher_reextracts(tiny_state, rng):
     """ema_encoder_only=False (whole-model EMA): the teacher must compute
     its OWN local features with the EMA'd extractor — after the EMA copies
@@ -394,6 +397,7 @@ def test_encoder_params_load_into_extraction_encoder(tiny_state, rng):
     )
 
 
+@pytest.mark.slow
 def test_sharded_d2v_step_matches_single(rng):
     """dp-sharded pretraining step == single-device step on the same global
     batch (8 virtual CPU devices; XLA inserts the gradient all-reduce)."""
@@ -428,6 +432,7 @@ def test_sharded_d2v_step_matches_single(rng):
     assert max(jax.tree.leaves(d)) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_d2v_step_dp_tp_matches_single(rng):
     """dp=2 x tp=4 pretraining step == single-device step: the student
     params, EMA copies, and AdamW moments shard over heads/MLP-hidden
@@ -699,6 +704,7 @@ def test_run_d2v_pretrain_validation_tracks_best(tmp_path):
     assert os.path.exists(os.path.join(out, "encoder_params_best.msgpack"))
 
 
+@pytest.mark.slow
 def test_collapse_guard_aborts_run(tmp_path, monkeypatch):
     """A variance collapse aborts training (reference config.py:77-83).
     Guards are evaluated for every update from step 1; detection is lag-1
@@ -990,6 +996,7 @@ def test_span_mask_restricted_to_valid_frames():
     assert m[short].sum() == n_masked
 
 
+@pytest.mark.slow
 def test_bf16_state_storage_knobs(rng):
     """Round-4 bandwidth-floor experiment knobs (PERFORMANCE.md r4):
     ema_dtype / adam_mu_dtype quantize STORAGE only — EMA leaves and the

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
     dad_preset,
@@ -84,6 +85,7 @@ def test_scan_epoch_matches_per_batch_stepping(rng):
     assert tracking["pseudo_label"].shape == (S, 8)
 
 
+@pytest.mark.slow
 def test_trainer_scan_mode_matches_loop_mode(tmp_path, monkeypatch, rng):
     monkeypatch.chdir(tmp_path)
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data import (
@@ -157,6 +159,7 @@ def _resident_pair_setup(tmp_path):
     return cfg, load_feature_store(cd, LM), load_feature_store(nd, LM)
 
 
+@pytest.mark.slow
 def test_trainer_resident_matches_streaming(tmp_path, monkeypatch):
     """Feature-mode resident path == per-batch streaming, value for value:
     the gather step uses each batch's own bucket shape and the same per-step
@@ -198,6 +201,7 @@ def test_trainer_resident_matches_streaming(tmp_path, monkeypatch):
     assert len(res.bias_analysis_log) > 0
 
 
+@pytest.mark.slow
 def test_trainer_resident_scanned_matches_streamed_scan(tmp_path, monkeypatch):
     """Resident + scan_chunk == the streamed scan_chunk path: same
     chunk-common padding and per-chunk key split; only upload-vs-gather

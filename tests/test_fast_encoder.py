@@ -3,6 +3,7 @@ reference path and numerically at the rounding floor."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
@@ -30,6 +31,7 @@ SMALL = dict(
 )
 
 
+@pytest.mark.slow
 def test_fast_path_param_tree_and_numerics(rng):
     ref_cfg = EncoderConfig(**SMALL)
     fast_cfg = EncoderConfig(**SMALL, fast_ln=True, fast_softmax=True)

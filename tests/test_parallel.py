@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
     EncoderConfig,
@@ -95,6 +96,7 @@ def _fused_batch(rng, B=8, T=256, labeled=True):
     )
 
 
+@pytest.mark.slow
 def test_fused_extract_train_multichip(rng):
     cfg = FusedConfig(encoder=TINY_ENC, dad=CFG, inject_snr_db=10.0)
     encoder, enc_params, head, tx, state = init_fused(
@@ -117,6 +119,7 @@ def test_fused_extract_train_multichip(rng):
         assert np.isfinite(float(metrics2["total_loss"]))
 
 
+@pytest.mark.slow
 def test_fused_matches_unsharded(rng):
     cfg = FusedConfig(encoder=TINY_ENC, dad=CFG)
     encoder, enc_params, head, tx, state = init_fused(
@@ -154,6 +157,7 @@ def test_fused_multi_snr_branch(rng):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow
 def test_fused_noise_bank_injection(rng):
     """NOISEX-bank injection inside the fused step: root1/root2 modes run,
     are live (differ from white noise), and the mesh path takes the bank
@@ -324,6 +328,7 @@ def test_sharded_extraction_rejects_indivisible_batch():
         FeatureExtractor(TINY_ENC, params, batch_size=6, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_cached_clean_features_matches_inline_extraction(rng):
     """cache_clean_features: precomputed clean features + noisy-only
     extraction must reproduce the inline two-extraction step exactly

@@ -232,6 +232,7 @@ def test_emodb_manifest(tmp_path, rng):
     assert len(files) == 4
 
 
+@pytest.mark.slow
 def test_ablation_and_sensitivity(tmp_path, monkeypatch, rng):
     monkeypatch.chdir(tmp_path)
     from helpers import make_iemocap_dir as mk
@@ -603,6 +604,7 @@ def test_noise_grid_preprocess_with_extraction(tmp_path, rng):
         assert store.dim == 16  # encoder_cfg respected, not the 768 default
 
 
+@pytest.mark.slow
 def test_multi_noise_suite(tmp_path, monkeypatch, rng):
     """run_multi_noise_suite (the run_granular_ablations*.py main loop):
     every mechanism averaged over NOISY_DATA_DIR conditions, summary JSON +

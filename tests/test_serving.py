@@ -133,6 +133,7 @@ def test_http_server_end_to_end(predictor):
         server.shutdown()
 
 
+@pytest.mark.slow
 def test_wav_path_with_tiny_encoder():
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
         EncoderConfig,
