@@ -127,6 +127,7 @@ def _cmd_d2v_pretrain(args):
         rng_impl=args.prng,
         ema_dtype=args.ema_dtype,
         adam_mu_dtype=args.adam_mu_dtype,
+        remat_blocks=args.remat,
     )
     weights = (
         [float(w) for w in args.weights.split(",")] if args.weights else None
@@ -163,6 +164,21 @@ def _cmd_d2v_pack(args):
     return 0
 
 
+def _resolve_scan_chunk(arg, fused: bool, mesh_active: bool) -> int:
+    """Resolve `dad --scan-chunk` (None = unset). Defaults: 4 in feature
+    mode (batches stream from host; chunking amortizes uploads — measured
+    best at IEMOCAP scale), per-step (0) in fused --from-wav mode (with
+    metrics deferred on device, per-step dispatch is fully async and the
+    chunk-common bucket padding costs 5-14%; PERFORMANCE.md round 4).
+    Always per-batch under a mesh — the sharded steps run one batch per
+    dispatch."""
+    if mesh_active:
+        return 0
+    if arg is None:
+        return 0 if fused else 4
+    return arg
+
+
 def _cmd_dad(args):
     from .configs import dad_preset
 
@@ -186,12 +202,12 @@ def _cmd_dad(args):
         kw["batch_size"] = args.batch_size
     cfg = dad_preset(args.corpus, **kw)
     mesh = None
-    scan_chunk = args.scan_chunk
     if args.dp > 0:
         from .parallel import make_mesh
 
         mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
-        scan_chunk = 0  # per-batch dispatch under the mesh
+    scan_chunk = _resolve_scan_chunk(args.scan_chunk, fused=False,
+                                     mesh_active=mesh is not None)
     # "auto" engages the device-resident corpus unless a mesh is given
     # (the dp-sharded feature step streams; see CrossDomainTrainer)
     resident = {"auto": "auto", "on": True, "off": False}[args.resident]
@@ -280,9 +296,8 @@ def _cmd_dad_fused(args):
         mesh=mesh,
         transfer_dtype=args.transfer_dtype,
         resident={"auto": "auto", "on": True, "off": False}[args.resident],
-        # scan over the resident corpus: one dispatch per chunk (mesh runs
-        # per-batch, matching the feature trainer's restriction)
-        scan_chunk=0 if mesh is not None else args.scan_chunk,
+        scan_chunk=_resolve_scan_chunk(args.scan_chunk, fused=True,
+                                       mesh_active=mesh is not None),
     )
     if args.fold == "all":
         run_fused_cv(cfg, args.from_wav, enc_cfg, enc_params, **common)
@@ -705,6 +720,10 @@ def main(argv=None) -> int:
                         "quantizes the teacher weights (PERFORMANCE.md r4)")
     p.add_argument("--adam-mu-dtype", choices=["bfloat16"], default=None,
                    help="AdamW first-moment storage dtype (optax mu_dtype)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer blocks in the backward "
+                        "pass (jax.checkpoint): trades recompute FLOPs for "
+                        "activation HBM traffic; bit-identical gradients")
     p.add_argument("--transfer-dtype", default=None,
                    metavar="DTYPE",
                    help="ship wav batches host->device in this dtype "
@@ -782,11 +801,15 @@ def main(argv=None) -> int:
     p.add_argument("--fold", default="0", help="0-based fold index or 'all'")
     p.add_argument("--epochs", type=int, default=500)
     p.add_argument("--name", default=None)
-    p.add_argument("--scan-chunk", type=int, default=4,
-                   help="batches per lax.scan dispatch (0 = per-batch steps); "
-                        "4 measured best at IEMOCAP scale, see PERFORMANCE.md."
-                        " In --from-wav mode this scans the RESIDENT corpus "
-                        "(inert with --resident off); ignored under --dp/--tp")
+    p.add_argument("--scan-chunk", type=int, default=None,
+                   help="batches per lax.scan dispatch (0 = per-batch steps). "
+                        "Default: 4 in feature mode (measured best at IEMOCAP "
+                        "scale), 0 in --from-wav mode (per-step dispatch beat "
+                        "chunked scans on the resident corpus: chunk-common "
+                        "bucket padding costs more than async dispatch saves; "
+                        "PERFORMANCE.md r4). In --from-wav mode this scans "
+                        "the RESIDENT corpus (inert with --resident off); "
+                        "ignored under --dp/--tp")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="batches assembled ahead on a worker thread (0 = sync)")
     p.add_argument("--transfer-dtype", default=None,

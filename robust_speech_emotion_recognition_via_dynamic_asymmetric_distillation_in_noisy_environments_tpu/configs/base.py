@@ -185,6 +185,12 @@ class D2vPretrainConfig:
     # accept/reject measurement.
     ema_dtype: str = "float32"
     adam_mu_dtype: Optional[str] = None  # optax adamw mu_dtype
+    # rematerialize the transformer blocks in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for activation HBM traffic.
+    # Bit-identical gradients (tests/test_d2v_pretrain.py); see
+    # PERFORMANCE.md round 4 for the accept/reject measurement at the
+    # roofline settings.
+    remat_blocks: bool = False
 
 
 @dataclass(frozen=True)

@@ -146,8 +146,18 @@ class D2vPretrainModel(nn.Module):
         )
         self.prenet_norm = make_norm(c.fast_ln, c.norm_eps, name="prenet_ln")
 
+        # remat: recompute each block in the backward pass instead of
+        # saving its activations — cuts the dominant HBM stream (student
+        # activations at B*clone_batch rows) for extra MXU FLOPs.
+        # deterministic (arg 4 incl. self) is a static python bool.
+        block_cls = (
+            nn.remat(AltBlock, static_argnums=(4,))
+            if self.pcfg.remat_blocks
+            else AltBlock
+        )
+
         def blk(name):
-            return AltBlock(
+            return block_cls(
                 dim=c.embed_dim,
                 num_heads=c.num_heads,
                 mlp_ratio=c.mlp_ratio,
@@ -209,11 +219,13 @@ class D2vPretrainModel(nn.Module):
         FFN targets) — the targets list feeds make_targets on the teacher."""
         dtype = jnp.dtype(self.cfg.dtype)
         x = self.prenet_norm(x).astype(dtype)
+        # positional args: nn.remat's static_argnums only covers
+        # positional parameters (bias arg 3 stays dynamic/None)
         for b in self.prenet_blocks:
-            x, _ = b(x, frame_mask, deterministic=deterministic)
+            x, _ = b(x, frame_mask, None, deterministic)
         targets = []
         for b in self.main_blocks:
-            x, t = b(x, frame_mask, deterministic=deterministic)
+            x, t = b(x, frame_mask, None, deterministic)
             targets.append(t)
         return x, targets
 

@@ -235,3 +235,22 @@ def test_md_path_never_clobbers_results():
     assert _md_path("results.json") == "results.md"
     assert _md_path("out/grid_results") == "out/grid_results.md"
     assert _md_path("a.b/results") == "a.b/results.md"
+
+
+def test_scan_chunk_defaults():
+    """`dad --scan-chunk` defaults differ by mode: 4 in feature mode
+    (host-streamed batches amortize uploads), per-step (0) in fused
+    --from-wav/resident mode, always per-batch under a mesh, explicit
+    values honored (PERFORMANCE.md round 4)."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
+        _resolve_scan_chunk,
+    )
+
+    assert _resolve_scan_chunk(None, fused=False, mesh_active=False) == 4
+    assert _resolve_scan_chunk(None, fused=True, mesh_active=False) == 0
+    assert _resolve_scan_chunk(8, fused=False, mesh_active=False) == 8
+    assert _resolve_scan_chunk(8, fused=True, mesh_active=False) == 8
+    assert _resolve_scan_chunk(0, fused=False, mesh_active=False) == 0
+    # a mesh forces per-batch dispatch regardless of mode or flag
+    assert _resolve_scan_chunk(8, fused=False, mesh_active=True) == 0
+    assert _resolve_scan_chunk(None, fused=True, mesh_active=True) == 0

@@ -1028,3 +1028,38 @@ def test_bf16_state_storage_knobs(rng):
     for k in state.ema_blocks:
         for leaf in jax.tree.leaves(merged["params"][k]):
             assert leaf.dtype == jnp.dtype(cfg.dtype)
+
+
+def test_remat_blocks_gradients_identical(rng):
+    """remat_blocks=True (jax.checkpoint over the transformer blocks) is a
+    pure execution-schedule change: same param tree, bit-identical loss and
+    gradients for the same inputs/key."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.d2v_pretrain import (
+        make_d2v_loss_fn,
+    )
+
+    cfg = EncoderConfig(**TINY_ENC)
+    wav = rng.normal(size=(2, 64)).astype(np.float32)
+    pad = np.zeros((2, 64), bool)
+    pad[1, 48:] = True
+    key = jax.random.PRNGKey(7)
+
+    outs = {}
+    for remat in (False, True):
+        pcfg = tiny_pcfg(remat_blocks=remat)
+        model, _tx, state = init_d2v_state(
+            cfg, pcfg, jax.random.PRNGKey(0), example_len=64
+        )
+        loss_fn = make_d2v_loss_fn(model)
+        (loss, _m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.ema_blocks, wav, pad, key
+        )
+        outs[remat] = (float(loss), grads)
+
+    # same init => same param tree => identical loss and grads
+    assert outs[False][0] == outs[True][0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        outs[False][1], outs[True][1],
+    )

@@ -51,7 +51,7 @@ def make_corpus(root, n_clips, secs, sr=16000):
             n = int(sr * secs * (0.8 + 0.4 * rng.random()))
             t = np.arange(n) / sr
             wav = (0.08 + 0.12 * c) * np.sin(2 * np.pi * 200.0 * (c + 1) * t)
-            write_wav(os.path.join(wav_dir, f"{spk}a{j % 7}{'ATNL'[c]}a.wav"),
+            write_wav(os.path.join(wav_dir, f"{spk}a{j}{'ATNL'[c]}a.wav"),
                       wav.astype(np.float32), sr)
             made += 1
     dest = os.path.join(root, "manifests")
@@ -68,6 +68,10 @@ def main():
                     help="timed steady-state epochs per trainer per order")
     ap.add_argument("--scan-chunk", type=int, default=8,
                     help="steps per dispatch for the resident_scan variant")
+    ap.add_argument("--variants", type=str, default="",
+                    help="comma-separated subset of "
+                         "stream_f32,stream_bf16,resident,resident_scan "
+                         "(default: all)")
     args = ap.parse_args()
 
     import jax
@@ -123,12 +127,19 @@ def main():
             transfer_dtype=transfer_dtype, scan_chunk=scan_chunk,
         )
 
-    trainers = {
-        "stream_f32": build(False, "s32"),
-        "stream_bf16": build(False, "s16", transfer_dtype="bfloat16"),
-        "resident": build(True, "res"),
-        "resident_scan": build(True, "rscan", scan_chunk=args.scan_chunk),
+    builders = {
+        "stream_f32": lambda: build(False, "s32"),
+        "stream_bf16": lambda: build(False, "s16", transfer_dtype="bfloat16"),
+        "resident": lambda: build(True, "res"),
+        "resident_scan": lambda: build(True, "rscan",
+                                       scan_chunk=args.scan_chunk),
     }
+    wanted = ([v.strip() for v in args.variants.split(",") if v.strip()]
+              or list(builders))
+    unknown = [v for v in wanted if v not in builders]
+    if unknown:
+        ap.error(f"unknown --variants {unknown}; choose from {list(builders)}")
+    trainers = {k: builders[k]() for k in wanted}
     n_steps = {k: min(len(t.clean_train), len(t.noisy_wav_train))
                for k, t in trainers.items()}
 

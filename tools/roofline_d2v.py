@@ -113,6 +113,9 @@ def main():
                          "experiment)")
     ap.add_argument("--adam-mu-dtype", default=None, choices=["bfloat16"],
                     help="AdamW first-moment storage dtype")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize transformer blocks in the backward "
+                         "pass (activation-traffic experiment, round 4)")
     args = ap.parse_args()
 
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.configs import (
@@ -131,7 +134,7 @@ def main():
     pcfg = D2vPretrainConfig(
         batch_size=args.batch, crop_size=args.crop,
         clone_batch=args.clone_batch, ema_dtype=args.ema_dtype,
-        adam_mu_dtype=args.adam_mu_dtype,
+        adam_mu_dtype=args.adam_mu_dtype, remat_blocks=args.remat,
     )
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
