@@ -166,12 +166,13 @@ def _cmd_d2v_pack(args):
 
 def _resolve_scan_chunk(arg, fused: bool, mesh_active: bool) -> int:
     """Resolve `dad --scan-chunk` (None = unset). Defaults: 4 in feature
-    mode (batches stream from host; chunking amortizes uploads — measured
-    best at IEMOCAP scale), per-step (0) in fused --from-wav mode (with
-    metrics deferred on device, per-step dispatch is fully async and the
-    chunk-common bucket padding costs 5-14%; PERFORMANCE.md round 4).
-    Always per-batch under a mesh — the sharded steps run one batch per
-    dispatch."""
+    mode (measured best at IEMOCAP scale on the HOST-STREAMING feature
+    path, where chunking amortizes uploads; the feature+resident
+    combination inherits the same default without its own measurement),
+    per-step (0) in fused --from-wav mode (with metrics deferred on
+    device, per-step dispatch is fully async and the chunk-common bucket
+    padding costs 5-14%; PERFORMANCE.md round 4). Always per-batch under
+    a mesh — the sharded steps run one batch per dispatch."""
     if mesh_active:
         return 0
     if arg is None:
