@@ -114,33 +114,69 @@ def bench_tpu():
             row_valid=jnp.ones(B, bool),
         )
 
-    clean, noisy = batch(True), batch(False)
+    # Startup is split with the AOT API (lower / compile / execute) so a
+    # drifting total is attributable: r03 vs r04 driver captures showed the
+    # one-block precompute timing swing 227.9 -> 788.9 s with an identical
+    # steady state, and an opaque block can't say whether that is remote
+    # compile queueing, H2D transfer, or execution (VERDICT r4 item 3).
+    # Expected envelope on this rig is recorded in PERFORMANCE.md round 5.
+    startup = {}
     t0 = time.time()
-    clean = jax.jit(
-        lambda p, c: precompute_clean_features(encoder, p, cfg, c)
-    )(enc_params, clean)
+    clean, noisy = batch(True), batch(False)
+    float(jnp.sum(clean.wav)) + float(jnp.sum(noisy.wav))  # force uploads
+    startup["batch_upload_s"] = round(time.time() - t0, 1)
+
+    jfn = jax.jit(lambda p, c: precompute_clean_features(encoder, p, cfg, c))
+    t0 = time.time()
+    lowered = jfn.lower(enc_params, clean)
+    startup["precompute_trace_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    compiled = lowered.compile()
+    startup["precompute_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    clean = compiled(enc_params, clean)
     float(jnp.sum(clean.feats))
-    log(f"clean-feature precompute (once per corpus): {time.time() - t0:.1f}s")
+    startup["precompute_exec_s"] = round(time.time() - t0, 1)
+    log(
+        "clean-feature precompute (once per corpus): "
+        f"trace {startup['precompute_trace_s']}s, "
+        f"compile {startup['precompute_compile_s']}s, "
+        f"exec {startup['precompute_exec_s']}s"
+    )
     scalars = StepScalars.for_epoch(dad_cfg, 40)
     anchors = jnp.zeros(4)
 
     t0 = time.time()
-    state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
-                          jax.random.PRNGKey(0))
+    step_lowered = step.lower(enc_params, state, clean, noisy, scalars,
+                              anchors, jax.random.PRNGKey(0))
+    startup["step_trace_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    step_compiled = step_lowered.compile()
+    startup["step_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    # all steps (incl. the timed loop) go through the AOT executable: a
+    # plain ``step(...)`` call would not see the AOT compile cache and
+    # would trigger a SECOND remote compile of the same program
+    state, metrics = step_compiled(enc_params, state, clean, noisy, scalars,
+                                   anchors, jax.random.PRNGKey(0))
     # NB: host materialization (float) is the reliable sync on this backend;
     # block_until_ready can return before remote execution completes.
-    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(metrics['total_loss']):.4f}")
+    startup["step_first_exec_s"] = round(time.time() - t0, 1)
+    log(
+        f"train step: compile {startup['step_compile_s']}s, first exec "
+        f"{startup['step_first_exec_s']}s loss={float(metrics['total_loss']):.4f}"
+    )
 
     t0 = time.time()
     for i in range(STEPS):
-        state, metrics = step(enc_params, state, clean, noisy, scalars, anchors,
-                              jax.random.PRNGKey(i + 1))
+        state, metrics = step_compiled(enc_params, state, clean, noisy,
+                                       scalars, anchors, jax.random.PRNGKey(i + 1))
     final_loss = float(metrics["total_loss"])  # forces the whole chain
     dt = time.time() - t0
     log(f"final loss {final_loss:.4f}")
     clips_per_sec = 2 * B * STEPS / dt
     log(f"TPU: {STEPS} steps in {dt:.2f}s -> {clips_per_sec:.1f} clips/s/chip")
-    return clips_per_sec
+    return clips_per_sec, startup
 
 
 def bench_torch_baseline(n_clips: int = 8):
@@ -180,7 +216,7 @@ def bench_torch_baseline(n_clips: int = 8):
 
 
 def main():
-    tpu_cps = bench_tpu()
+    tpu_cps, startup = bench_tpu()
     try:
         fresh_cps = bench_torch_baseline()
     except Exception as e:  # pragma: no cover
@@ -204,6 +240,10 @@ def main():
                 "vs_baseline_fresh": (
                     round(tpu_cps / fresh_cps, 2) if fresh_cps else None
                 ),
+                # startup split (seconds): attributes any drift in the
+                # one-time costs to compile vs transfer vs execution
+                # (expected envelope: PERFORMANCE.md round 5)
+                "startup": startup,
             }
         )
     )

@@ -144,6 +144,8 @@ def _cmd_d2v_pretrain(args):
         transfer_dtype=args.transfer_dtype, scan_chunk=args.scan_chunk,
         valid_manifests=args.valid_manifests, valid_split=args.valid_split,
         valid_every=args.valid_every,
+        resident={"auto": "auto", "on": True, "off": False}[args.resident],
+        resident_max_bytes=args.resident_max_bytes,
     )
     return 0
 
@@ -746,6 +748,16 @@ def main(argv=None) -> int:
                         "bf16 encoder + fast_ln/fast_softmax/tanh-GELU + "
                         "rbg PRNG (+51% over defaults, PERFORMANCE.md); "
                         "--encoder-json/--prng still override")
+    p.add_argument("--resident", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="commit the (normalized) training audio to device "
+                        "memory once and gather crops on-device from "
+                        "per-step index vectors instead of uploading wav "
+                        "batches (bit-identical losses; single-device "
+                        "per-step only — auto falls back under a mesh or "
+                        "--scan-chunk > 1)")
+    p.add_argument("--resident-max-bytes", type=int, default=8 << 30,
+                   help="auto mode's HBM budget for the committed corpus")
     p.set_defaults(func=_cmd_d2v_pretrain)
 
     p = sub.add_parser(

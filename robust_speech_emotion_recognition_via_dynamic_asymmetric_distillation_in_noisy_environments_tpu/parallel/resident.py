@@ -128,6 +128,41 @@ def resident_from_store(
     return res
 
 
+def resident_from_flat(
+    flat: np.ndarray,
+    sizes: np.ndarray,
+    labels: Optional[np.ndarray] = None,
+    mesh=None,
+) -> ResidentClips:
+    """Commits an already-flat clip corpus ((total[, D]) + per-clip sizes)
+    to device memory — the constructor for corpora that never lived in a
+    FeatureStore/WavStore (e.g. the d2v pretraining wav corpus, which
+    WavCropDataset.load_all_audio decodes straight to a flat array)."""
+    sizes64 = np.asarray(sizes, np.int64)
+    total = int(sizes64.sum())
+    if total >= 2**31:
+        raise ValueError(f"corpus too large for int32 addressing ({total} rows)")
+    if total != len(flat):
+        raise ValueError(f"flat length {len(flat)} != sizes sum {total}")
+    offsets = np.concatenate([[0], np.cumsum(sizes64)[:-1]]).astype(np.int32)
+    if labels is None:
+        labels = np.full(len(sizes64), -1, np.int32)
+    put = (
+        (lambda x: jax.device_put(jnp.asarray(x), replicated(mesh)))
+        if mesh is not None
+        else (lambda x: jax.device_put(jnp.asarray(x)))
+    )
+    res = ResidentClips(
+        flat=put(flat), offsets=put(offsets),
+        sizes=put(sizes64.astype(np.int32)), labels=put(labels),
+    )
+    logger.info(
+        "resident corpus: %d clips, %.1f MB %s committed to device",
+        len(sizes64), flat.nbytes / 1e6, flat.dtype,
+    )
+    return res
+
+
 def resident_nbytes(store, dtype: Optional[str] = None) -> int:
     """Upload size estimate without building anything."""
     itemsize = np.dtype(dtype).itemsize if dtype else store_flat(store).itemsize
@@ -136,14 +171,24 @@ def resident_nbytes(store, dtype: Optional[str] = None) -> int:
 
 
 def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
-                 frame_cap: Optional[int] = None):
+                 frame_cap: Optional[int] = None,
+                 starts: Optional[jax.Array] = None):
     """Assemble the padded (B, t[, D]) batch for clip indices ``idx``
     (int32, -1 = padded row) — the on-device equivalent of
     PaddedBatchIterator/PaddedWavIterator row assembly: clips truncated to
-    ``t`` (and ``frame_cap``), zero pad fill, mask True = pad."""
+    ``t`` (and ``frame_cap``), zero pad fill, mask True = pad.
+
+    ``starts`` ((B,) int32, optional): per-row read offset WITHIN each
+    clip — the fixed-size random-crop case (d2v pretraining's
+    WavCropDataset row assembly): row b reads clip idx[b] samples
+    [starts[b], starts[b] + t). Rows whose clip is shorter than ``t``
+    use starts[b] == 0 and pad, exactly like the host crop loop."""
     safe = jnp.maximum(idx, 0)
     off = c.offsets[safe]
     sz = c.sizes[safe]
+    if starts is not None:
+        off = off + starts
+        sz = sz - starts  # samples remaining from the crop start
     pos_t = jnp.arange(t, dtype=jnp.int32)
     valid = (pos_t[None, :] < sz[:, None]) & (idx >= 0)[:, None]
     if frame_cap is not None and t > frame_cap:
@@ -241,6 +286,35 @@ def materialize_tracking(per_step) -> list:
         k: np.asarray(jnp.stack([t[k] for t in per_step])) for k in keys
     }
     return [{k: host[k][i] for k in keys} for i in range(len(per_step))]
+
+
+def make_resident_d2v_step(model, tx):
+    """The d2v pretraining train step with an on-device crop-gather
+    prologue — the resident counterpart of the WavCropDataset.batches host
+    loop (train/d2v_pretrain.py) feeding make_d2v_train_step:
+
+    step(state, corpus, idx, starts, key, *, crop) -> (state', metrics)
+
+    ``idx``/``starts`` are (B,) int32 (global clip index, crop offset
+    within the clip) — together ~KB/step of host->device traffic instead
+    of the (B, crop) f32 wav batch (~10 MB/step at upstream shapes), which
+    PERFORMANCE.md round 3 measured as the d2v DRIVER's entire overhead
+    over its own device step (283 vs 212 ms/step). The corpus is committed
+    once with pcfg.normalize already applied on host (normalization is
+    whole-CLIP, so it is crop-invariant and can be precomputed), making
+    the gathered (wav, pad) batch bit-identical to the streamed one for
+    the same (idx, starts) (tests/test_d2v_pretrain.py pins it). The
+    reference's dataset feeds from RAM (upstream/tasks/
+    audio_pretraining.py:28-263); ours feeds from HBM."""
+    from ..models.d2v_pretrain import make_d2v_train_step
+
+    core = make_d2v_train_step(model, tx, jit=False)
+
+    def step(state, corpus: ResidentClips, idx, starts, key, *, crop: int):
+        wav, pad = gather_clips(corpus, idx, crop, starts=starts)
+        return core(state, wav.astype(jnp.float32), pad, key)
+
+    return jax.jit(step, static_argnames=("crop",), donate_argnums=(0,))
 
 
 def make_resident_dad_step(head, tx, cfg):

@@ -79,6 +79,12 @@ class WavCropDataset:
         if any(w <= 0 for w in weights):
             raise ValueError(f"sampling weights must be positive: {weights}")
         self.weights = [float(w) for w in weights]
+        # flat global clip index space (resident mode addresses clips by
+        # these): corpus ci's clip j is global index _corpus_starts[ci] + j
+        self._flat_entries = [e for lst in self.base_lists for e in lst]
+        self._corpus_starts = np.concatenate(
+            [[0], np.cumsum([len(lst) for lst in self.base_lists])]
+        ).astype(np.int64)
         if not self.files_for_epoch(0):
             raise ValueError("no usable clips in the given manifests")
 
@@ -89,20 +95,60 @@ class WavCropDataset:
         path, _frames = entry
         return read_mono(path, self.pcfg.sample_rate)
 
-    def files_for_epoch(self, epoch: int) -> List[Tuple[str, int]]:
-        files: List[Tuple[str, int]] = []
+    def indices_for_epoch(self, epoch: int) -> np.ndarray:
+        """Epoch composition as GLOBAL clip indices (into the flat
+        per-corpus-concatenated clip space) — the single source of truth
+        behind files_for_epoch, shared with the resident index projection
+        (index_crop_batches) so both paths see the identical epoch."""
+        out: List[int] = []
         for ci, (lst, w) in enumerate(zip(self.base_lists, self.weights)):
+            base = int(self._corpus_starts[ci])
             reps, frac = int(w), w - int(w)
             for _ in range(reps):
-                files.extend(lst)
+                out.extend(range(base, base + len(lst)))
             n_frac = int(round(frac * len(lst)))
             if n_frac:
                 rng = np.random.default_rng(
                     (self.pcfg.random_seed, epoch, ci)
                 )
                 pick = rng.choice(len(lst), n_frac, replace=False)
-                files.extend(lst[int(i)] for i in pick)
-        return files
+                out.extend(base + int(i) for i in pick)
+        return np.asarray(out, np.int64)
+
+    def files_for_epoch(self, epoch: int) -> List[Tuple[str, int]]:
+        return [
+            self._flat_entries[int(g)] for g in self.indices_for_epoch(epoch)
+        ]
+
+    def load_all_audio(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Decodes every UNIQUE clip once — normalized exactly like
+        ``batches()`` (whole-clip, crop-invariant) — into one flat float32
+        array; returns (flat (total,), sizes (N,) int64) in global-index
+        order. This is the host side of the device-resident corpus: the
+        streaming path re-decodes every wav each epoch, so one decode pass
+        costs no more than one streamed epoch."""
+        sizes = np.empty(len(self._flat_entries), np.int64)
+        clips: List[np.ndarray] = []
+        for gi, entry in enumerate(self._flat_entries):
+            audio = np.asarray(self._load_audio(entry), np.float32)
+            if self.pcfg.normalize:
+                audio = _normalize_clip(audio)
+            sizes[gi] = len(audio)
+            clips.append(audio)
+        flat = (
+            np.concatenate(clips) if clips else np.zeros(0, np.float32)
+        )
+        return flat, sizes
+
+    def estimated_audio_nbytes(self) -> int:
+        """Resident-commit size estimate WITHOUT decoding: the manifest
+        frames column (f32 samples), with unknown (-1) frames counted as
+        one crop — a floor, good enough for the resident budget guard."""
+        total = 0
+        for entry in self._flat_entries:
+            _key, frames = entry
+            total += int(frames) if frames >= 0 else self.pcfg.crop_size
+        return total * 4
 
     def __len__(self) -> int:
         return len(self.files_for_epoch(0))
@@ -153,6 +199,47 @@ class WavCropDataset:
             yield wav, pad
 
 
+def index_crop_batches(
+    ds: WavCropDataset,
+    epoch: int,
+    batch_size: int,
+    sizes: np.ndarray,
+    skip: int = 0,
+) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """The INDEX-ONLY projection of ``WavCropDataset.batches``: yields
+    (idx (B,) int32 global clip indices, starts (B,) int32 crop offsets)
+    for exactly the batches the streaming iterator would assemble — same
+    epoch composition (indices_for_epoch), same (seed, epoch) shuffle
+    permutation, same per-batch crop rng keyed by (seed, epoch, batch),
+    consumed ONLY for rows whose clip exceeds the crop, in row order —
+    the streaming loop's exact draw sequence (tests pin the resulting
+    batches bit-identical).
+
+    ``sizes``: TRUE per-clip sample counts in global-index order (from
+    load_all_audio) — the crop draw range is the real clip length, which
+    manifests may not know (frames can be -1/stale)."""
+    pcfg = ds.pcfg
+    crop = pcfg.crop_size
+    gidx = ds.indices_for_epoch(epoch)
+    rng = np.random.default_rng((pcfg.random_seed, epoch))
+    order = rng.permutation(len(gidx))
+    n_use = (len(gidx) // batch_size) * batch_size  # drop_last
+    for start in range(skip * batch_size, n_use, batch_size):
+        rows = order[start : start + batch_size]
+        rng = np.random.default_rng(
+            (pcfg.random_seed, epoch, start // batch_size)
+        )
+        idx = np.empty(batch_size, np.int32)
+        starts = np.zeros(batch_size, np.int32)
+        for row, i in enumerate(rows):
+            g = int(gidx[int(i)])
+            idx[row] = g
+            n = int(sizes[g])
+            if n > crop:
+                starts[row] = int(rng.integers(0, n - crop + 1))
+        yield idx, starts
+
+
 def run_d2v_pretrain(
     cfg: EncoderConfig,
     pcfg: D2vPretrainConfig,
@@ -170,6 +257,8 @@ def run_d2v_pretrain(
     valid_manifests: Optional[Sequence[str]] = None,
     valid_split: str = "valid",
     valid_every: int = 1000,
+    resident="off",
+    resident_max_bytes: int = 8 << 30,
 ) -> Dict:
     """Runs ``pcfg.max_steps`` updates; returns the final metric dict.
 
@@ -199,7 +288,21 @@ def run_d2v_pretrain(
     ``<dir>/<valid_split>.tsv`` with dropout off and a FIXED key/crop
     stream (comparable across passes); valid_loss entries land in the
     history, the best state is kept as ``d2v_best_state.msgpack``, and
-    its encoder subtree is exported as ``encoder_params_best.msgpack``."""
+    its encoder subtree is exported as ``encoder_params_best.msgpack``.
+
+    ``resident``: True / False / "auto" — decode + commit the (normalized)
+    training audio to DEVICE memory once and gather each step's fixed-size
+    crops on-device from per-step (clip, start) index vectors
+    (parallel/resident.py make_resident_d2v_step) instead of uploading a
+    ~10 MB wav batch every step; losses are bit-identical to streaming
+    under the shared crop-index stream (tested). "auto" engages when the
+    size estimate fits ``resident_max_bytes`` (and int32 addressing);
+    single-device per-step only — a mesh streams (the sharded step places
+    batches itself), and scan_chunk > 1 falls back to the streamed scan
+    ("auto") or raises (explicit True): resident per-step dispatch is
+    already fully async, so there is no latency left for scan to amortize
+    (same finding as the fused trainer's round-4 default).
+    ``transfer_dtype`` is inert in resident mode (no wav transfers)."""
     from ..models.d2v_pretrain import (
         D2vTrainState,
         encoder_params,
@@ -272,6 +375,62 @@ def run_d2v_pretrain(
         "d2v pretrain: %d clips, %d steps/epoch, %d total steps",
         len(ds), ds.num_batches(pcfg.batch_size), pcfg.max_steps,
     )
+
+    # device-resident corpus (see docstring): resolve the mode, then decode
+    # + commit once and build the gather step
+    use_resident = resident not in (False, "off", None)
+    if use_resident and mesh is not None:
+        logger.warning(
+            "resident corpus ignored under a mesh (the dp-sharded step "
+            "places batches itself)"
+        )
+        use_resident = False
+    if use_resident and scan_chunk > 1:
+        if resident is True:
+            raise ValueError(
+                "resident mode is per-step only (its dispatch is already "
+                "fully async; PERFORMANCE.md round 4) — pass scan_chunk<=1"
+            )
+        logger.info(
+            "resident auto disabled: scan_chunk=%d requested", scan_chunk
+        )
+        use_resident = False
+    resident_corpus = None
+    res_sizes = None
+    if use_resident:
+        est = ds.estimated_audio_nbytes()
+        if resident == "auto" and est > resident_max_bytes:
+            logger.info(
+                "resident corpus disabled: estimated %.1f GB > budget "
+                "%.1f GB", est / 1e9, resident_max_bytes / 1e9,
+            )
+            use_resident = False
+    if use_resident:
+        from ..parallel.resident import (
+            make_resident_d2v_step,
+            resident_from_flat,
+        )
+
+        flat, res_sizes = ds.load_all_audio()
+        if resident == "auto" and (
+            flat.nbytes > resident_max_bytes or len(flat) >= 2**31
+        ):
+            # the decoded truth can exceed the manifest-frames estimate
+            logger.info(
+                "resident corpus disabled post-decode: %.1f GB > budget "
+                "(or int32 overflow)", flat.nbytes / 1e9,
+            )
+            use_resident = False
+            flat = None
+        else:
+            resident_corpus = resident_from_flat(flat, res_sizes)
+            flat = None  # host copy no longer needed
+            resident_step = make_resident_d2v_step(model, tx)
+            if transfer_dtype:
+                logger.info(
+                    "transfer_dtype=%s inert in resident mode (no wav "
+                    "transfers)", transfer_dtype,
+                )
     # typed key so pcfg.rng_impl ("rbg" = TPU hardware generator, measured
     # 1.15-1.25x step + ~13x compile win, PERFORMANCE.md) rides through
     # every split; serialized via key_data for bit-exact resume
@@ -457,17 +616,34 @@ def run_d2v_pretrain(
     pending = None  # (first step index, k, stacked metrics of that chunk)
     while not done:
         epoch_had_batches = False
-        src = ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch)
-        if chunk > 1:
-            src = chunked(src, pcfg.max_steps - step)
-        for wavs, pads in prefetch(
-            src,
-            # with a mesh the sharded step dp-places the batch itself
-            depth=2, to_device=mesh is None,
-            transfer_fp32_as=transfer_dtype if mesh is None else None,
-        ):
-            epoch_had_batches = True
+        if use_resident:
+            # ~KB of (idx, starts) per step; no prefetch needed — the
+            # uploads are latency-, not bandwidth-bound, and dispatch is
+            # already asynchronous
+            batch_iter = index_crop_batches(
+                ds, epoch, pcfg.batch_size, res_sizes, skip=batch_in_epoch
+            )
+        else:
+            src = ds.batches(epoch, pcfg.batch_size, skip=batch_in_epoch)
             if chunk > 1:
+                src = chunked(src, pcfg.max_steps - step)
+            batch_iter = prefetch(
+                src,
+                # with a mesh the sharded step dp-places the batch itself
+                depth=2, to_device=mesh is None,
+                transfer_fp32_as=transfer_dtype if mesh is None else None,
+            )
+        for wavs, pads in batch_iter:
+            epoch_had_batches = True
+            if use_resident:
+                k = 1
+                rng, key = jax.random.split(rng)
+                # (wavs, pads) are the (idx, starts) index vectors here
+                state, mstack = resident_step(
+                    state, resident_corpus, wavs, pads, key,
+                    crop=pcfg.crop_size,
+                )
+            elif chunk > 1:
                 k = int(wavs.shape[0])
                 rng, keys = split_chunk_keys(rng, k)
                 state, mstack = chunk_runner(state, wavs, pads, keys)

@@ -1063,3 +1063,163 @@ def test_remat_blocks_gradients_identical(rng):
                                                    np.asarray(b)),
         outs[False][1], outs[True][1],
     )
+
+
+# ---------------------------------------------------------------------------
+# device-resident wav corpus (round 5): HBM-committed audio + on-device
+# crop gathers replace the per-step wav upload
+# ---------------------------------------------------------------------------
+def test_index_crop_batches_matches_streaming(tmp_path):
+    """The index projection (idx, starts) + host gather over load_all_audio's
+    flat array reproduces WavCropDataset.batches BIT-IDENTICALLY — same
+    epoch composition (incl. fractional multi-corpus weights), same shuffle,
+    same crop rng draw sequence, same normalization and pad fill."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        WavCropDataset,
+        index_crop_batches,
+    )
+
+    d = _write_wav_corpus(tmp_path)
+    pcfg = tiny_pcfg(crop_size=6000, min_sample_size=4500, batch_size=2)
+    # two corpora with a fractional weight: exercises indices_for_epoch's
+    # repeat + seeded-pick composition
+    ds = WavCropDataset([d, d], pcfg, weights=[1.0, 0.5])
+    flat, sizes = ds.load_all_audio()
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    crop = pcfg.crop_size
+    for epoch in (0, 1):
+        streamed = list(ds.batches(epoch, 2))
+        projected = list(index_crop_batches(ds, epoch, 2, sizes))
+        assert len(streamed) == len(projected) > 0
+        for (wav, pad), (idx, starts) in zip(streamed, projected):
+            wav2 = np.zeros_like(wav)
+            pad2 = np.ones_like(pad)
+            for r in range(2):
+                g, s = int(idx[r]), int(starts[r])
+                n = min(int(sizes[g]) - s, crop)
+                wav2[r, :n] = flat[offsets[g] + s : offsets[g] + s + n]
+                pad2[r, :n] = False
+            np.testing.assert_array_equal(wav, wav2)
+            np.testing.assert_array_equal(pad, pad2)
+
+
+def test_gather_clips_with_starts(rng):
+    """gather_clips(starts=...) slices [start, start+crop) per row on
+    device, pads short remainders with zeros/True-mask, and honors -1
+    padded rows."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        gather_clips,
+        resident_from_flat,
+    )
+
+    sizes = np.array([50, 30, 80], np.int64)
+    flat = rng.normal(size=int(sizes.sum())).astype(np.float32)
+    corpus = resident_from_flat(flat, sizes)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    crop = 40
+    idx = np.array([0, 2, 1, -1], np.int32)
+    starts = np.array([5, 40, 0, 0], np.int32)
+    out, pad = jax.jit(
+        lambda c, i, s: gather_clips(c, i, crop, starts=s)
+    )(corpus, idx, starts)
+    out, pad = np.asarray(out), np.asarray(pad)
+    for r, (g, s) in enumerate(zip(idx, starts)):
+        if g < 0:
+            assert pad[r].all() and (out[r] == 0).all()
+            continue
+        n = min(int(sizes[g]) - int(s), crop)
+        np.testing.assert_array_equal(
+            out[r, :n], flat[offsets[g] + s : offsets[g] + s + n]
+        )
+        assert not pad[r, :n].any()
+        assert pad[r, n:].all() and (out[r, n:] == 0).all()
+
+
+@pytest.mark.slow
+def test_run_d2v_pretrain_resident_matches_streaming(tmp_path):
+    """resident=True produces the same per-step loss history as the
+    streaming driver — the gathered (wav, pad) batches are bit-identical
+    and the key stream is shared, so only XLA program structure differs."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=6, warmup_steps=1, clone_batch=2)
+
+    a = os.path.join(str(tmp_path), "streaming")
+    b = os.path.join(str(tmp_path), "resident")
+    run_d2v_pretrain(cfg, pcfg, [d], a, log_every=1, checkpoint_every=0)
+    run_d2v_pretrain(cfg, pcfg, [d], b, log_every=1, checkpoint_every=0,
+                     resident=True)
+    h_a = json.load(open(os.path.join(a, "d2v_training_history.json")))
+    h_b = json.load(open(os.path.join(b, "d2v_training_history.json")))
+    assert [e["step"] for e in h_b] == [e["step"] for e in h_a] == list(
+        range(1, 7)
+    )
+    for ea, eb in zip(h_a, h_b):
+        for key in ("loss", "d2v_loss", "cls_loss", "target_var", "pred_var"):
+            assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key, ea, eb)
+
+
+@pytest.mark.slow
+def test_run_d2v_pretrain_resident_resume(tmp_path, monkeypatch):
+    """A resident run crash-interrupted mid-epoch resumes to the same
+    final history as an uninterrupted resident run (index projection
+    honors the batch_in_epoch skip; rng stream restored). The crash is a
+    genuine mid-run exception, NOT a shorter max_steps (that would change
+    the cosine-decay schedule — see test_run_d2v_pretrain_resume_continues_run)."""
+    import json
+
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel import (
+        resident as resident_mod,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        run_d2v_pretrain,
+    )
+
+    d = _write_wav_corpus(tmp_path, lens=(2000, 2400, 2800, 3000))
+    cfg = EncoderConfig(**TINY_ENC)
+    pcfg = tiny_pcfg(crop_size=1500, min_sample_size=1000, batch_size=2,
+                     max_steps=5, warmup_steps=1, clone_batch=2)
+
+    full = os.path.join(str(tmp_path), "full")
+    run_d2v_pretrain(cfg, pcfg, [d], full, log_every=1,
+                     checkpoint_every=0, resident=True)
+
+    # same run crashing right after the step-3 checkpoint (mid-epoch:
+    # 2 steps/epoch, so step 3 is epoch 1 batch 0)...
+    real_make = resident_mod.make_resident_d2v_step
+
+    def crashing_make(model, tx):
+        real_step = real_make(model, tx)
+        calls = {"n": 0}
+
+        def step(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] > 3:
+                raise RuntimeError("simulated crash")
+            return real_step(*a, **kw)
+
+        return step
+
+    part = os.path.join(str(tmp_path), "part")
+    monkeypatch.setattr(resident_mod, "make_resident_d2v_step", crashing_make)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1,
+                         checkpoint_every=3, resident=True)
+    monkeypatch.setattr(resident_mod, "make_resident_d2v_step", real_make)
+
+    # ...then resumed to completion
+    run_d2v_pretrain(cfg, pcfg, [d], part, log_every=1, checkpoint_every=0,
+                     resident=True, resume=True)
+    h_full = json.load(open(os.path.join(full, "d2v_training_history.json")))
+    h_part = json.load(open(os.path.join(part, "d2v_training_history.json")))
+    assert [e["step"] for e in h_part] == [e["step"] for e in h_full]
+    for ea, eb in zip(h_full, h_part):
+        for key in ("loss", "d2v_loss", "cls_loss"):
+            assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key)

@@ -59,10 +59,53 @@ def make_corpus(root, n_clips, secs, sr=16000):
     return dest
 
 
+def make_corpus_iemocap(root, n_clips, sr=16000):
+    """IEMOCAP-shaped synthetic corpus at the real scale: sessions 1-5
+    (fold 0 trains on 1-3), .emo sidecar naming (Ses0X..., label from the
+    4-class map), and a lognormal length mix (median ~4 s, clipped
+    1-20 s) approximating the real store's bucket distribution."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.audio.wavio import (
+        write_wav,
+    )
+
+    wav_dir = os.path.join(root, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    labels = ["ang", "hap", "neu", "sad"]
+    dest = os.path.join(root, "manifests")
+    os.makedirs(dest, exist_ok=True)
+    tsv = open(os.path.join(dest, "train.tsv"), "w")
+    emo = open(os.path.join(dest, "train.emo"), "w")
+    print(wav_dir, file=tsv)
+    total_s = 0.0
+    for i in range(n_clips):
+        sess = i % 5 + 1
+        c = (i // 5) % 4
+        secs = float(np.clip(rng.lognormal(np.log(4.0), 0.5), 1.0, 20.0))
+        total_s += secs
+        n = int(sr * secs)
+        t = np.arange(n) / sr
+        wav = (0.08 + 0.12 * c) * np.sin(2 * np.pi * 200.0 * (c + 1) * t)
+        name = f"Ses0{sess}F_impro0{c + 1}_F{i:05d}"
+        write_wav(os.path.join(wav_dir, name + ".wav"),
+                  wav.astype(np.float32), sr)
+        print(f"{name}.wav\t{n}", file=tsv)
+        print(f"{name}\t{labels[c]}", file=emo)
+    tsv.close()
+    emo.close()
+    print(f"iemocap-style corpus: {n_clips} clips, {total_s / 3600:.2f} h "
+          f"({total_s / n_clips:.2f} s/clip mean)", file=sys.stderr)
+    return dest
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=320)
     ap.add_argument("--secs", type=float, default=2.0)
+    ap.add_argument("--style", choices=["emodb", "iemocap"], default="emodb",
+                    help="iemocap: 5-session .emo corpus with a lognormal "
+                         "length mix at the real bucket distribution "
+                         "(--secs ignored); preset/fold policy follows")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=3,
                     help="timed steady-state epochs per trainer per order")
@@ -88,11 +131,14 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     root = tempfile.mkdtemp(prefix="bench_resident_")
-    manifest = make_corpus(root, args.clips, args.secs)
+    if args.style == "iemocap":
+        manifest = make_corpus_iemocap(root, args.clips)
+    else:
+        manifest = make_corpus(root, args.clips, args.secs)
 
     enc_cfg = EncoderConfig(dtype="bfloat16", gelu_approximate=True)
     cfg = dad_preset(
-        "emodb", batch_size=args.batch, epochs=500, warmup_epochs=1,
+        args.style, batch_size=args.batch, epochs=500, warmup_epochs=1,
         ecda_start_epoch=1, validation_interval=10_000,
         results_base_dir=os.path.join(root, "results"),
     )
@@ -114,7 +160,7 @@ def main():
 
     def build(resident, sub, transfer_dtype=None, scan_chunk=0):
         c = dad_preset(
-            "emodb", batch_size=args.batch, epochs=500, warmup_epochs=1,
+            args.style, batch_size=args.batch, epochs=500, warmup_epochs=1,
             ecda_start_epoch=1, validation_interval=10_000,
             results_base_dir=os.path.join(root, "results", sub),
         )

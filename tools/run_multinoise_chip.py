@@ -41,7 +41,25 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--clips", type=int, default=80)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--full-size", action="store_true",
+                    help="run with the PRODUCTION bf16 encoder (768d, 12 "
+                         "blocks) instead of the tiny --encoder-json one — "
+                         "proves the harness's compile/HBM/resident "
+                         "behavior at product scale (VERDICT r4 item 6); "
+                         "defaults the grid to 1 mechanism x 1 cell")
+    ap.add_argument("--experiments", default=None,
+                    help="mechanism list (default: 2 for tiny, 1 for "
+                         "--full-size)")
+    ap.add_argument("--cells", default=None,
+                    help="--multi-noise cells (default: 2 for tiny, 1 for "
+                         "--full-size)")
     args = ap.parse_args()
+    experiments = args.experiments or (
+        "full_method" if args.full_size else "full_method,no_repulsion"
+    )
+    cells = args.cells or ("babble@10" if args.full_size else
+                           "babble@10,f16@10")
+    n_cells = len(cells.split(","))
 
     import torch
 
@@ -68,7 +86,10 @@ def main():
             if made >= args.clips:
                 break
             c = made % 4
-            n = int(16000 * (0.25 + 0.2 * rng.random()))
+            secs = (1.0 + 1.0 * rng.random()) if args.full_size else (
+                0.25 + 0.2 * rng.random()
+            )
+            n = int(16000 * secs)
             t = np.arange(n) / 16000.0
             wav = (0.08 + 0.12 * c) * np.sin(
                 2 * np.pi * (200.0 * (c + 1) + rng.normal() * 3) * t
@@ -86,15 +107,23 @@ def main():
         write_wav(os.path.join(noise_root, fname),
                   (rng.normal(size=48000) * 0.1).astype(np.float32), 16000)
 
-    enc_json = os.path.join(root, "tiny_enc.json")
-    with open(enc_json, "w") as f:
-        json.dump(TINY_ENC, f)
-    ckpt = os.path.join(root, "tiny_e2v.pt")
-    enc_cfg_kw = dict(TINY_ENC)
-    enc_cfg_kw["conv_feature_layers"] = tuple(
-        tuple(x) for x in enc_cfg_kw["conv_feature_layers"]
-    )
-    torch.save({"model": rand_sd(EncoderConfig(**enc_cfg_kw), 0)}, ckpt)
+    if args.full_size:
+        # production encoder: full-size fairseq-layout random checkpoint,
+        # bf16 extraction — no --encoder-json
+        ckpt = os.path.join(root, "full_e2v.pt")
+        torch.save({"model": rand_sd(EncoderConfig(), 0)}, ckpt)
+        enc_args = ["--encoder-dtype", "bfloat16"]
+    else:
+        enc_json = os.path.join(root, "tiny_enc.json")
+        with open(enc_json, "w") as f:
+            json.dump(TINY_ENC, f)
+        ckpt = os.path.join(root, "tiny_e2v.pt")
+        enc_cfg_kw = dict(TINY_ENC)
+        enc_cfg_kw["conv_feature_layers"] = tuple(
+            tuple(x) for x in enc_cfg_kw["conv_feature_layers"]
+        )
+        torch.save({"model": rand_sd(EncoderConfig(**enc_cfg_kw), 0)}, ckpt)
+        enc_args = ["--encoder-json", enc_json, "--encoder-dtype", "float32"]
 
     out = os.path.join(root, "multi.json")
     pkg = ("robust_speech_emotion_recognition_via_dynamic_asymmetric_"
@@ -102,10 +131,10 @@ def main():
     cmd = [
         sys.executable, "-m", pkg, "ablation", "--corpus", "emodb",
         "--from-wav", manifest, "--checkpoint", ckpt,
-        "--encoder-json", enc_json, "--encoder-dtype", "float32",
+        *enc_args,
         "--noise-root", noise_root, "--suite", "granular",
-        "--experiments", "full_method,no_repulsion",
-        "--multi-noise", "babble@10,f16@10",
+        "--experiments", experiments,
+        "--multi-noise", cells,
         "--epochs", str(args.epochs), "--warmup-epochs", "1",
         "--batch-size", str(args.batch), "--output", out,
     ]
@@ -126,11 +155,13 @@ def main():
     md = open(out.replace(".json", ".md")).read()
     print(f"\n== cli ablation --from-wav --multi-noise on "
           f"{os.environ.get('JAX_PLATFORMS', 'default')} ==")
-    print(f"wall: {wall:.1f}s for 2 mechanisms x 2 cells x {args.epochs} "
-          f"epochs ({args.clips} clips)")
+    n_mech = len(experiments.split(","))
+    print(f"wall: {wall:.1f}s for {n_mech} mechanisms x {n_cells} cells x "
+          f"{args.epochs} epochs ({args.clips} clips, "
+          f"{'FULL-SIZE bf16' if args.full_size else 'tiny f32'} encoder)")
     print(f"amortization: clean extraction passes = {clean_passes} "
-          f"(expect 1), noisy-domain refreshes = {refreshes} (expect 2 = "
-          f"one per cell), wav-store loads = {wav_loads}")
+          f"(expect 1), noisy-domain refreshes = {refreshes} (expect "
+          f"{n_cells} = one per cell), wav-store loads = {wav_loads}")
     print(f"artifacts: {out} + .md ({'FAILED' in md and 'HAS FAILED ROWS' or 'no FAILED rows'})")
     for r in results:
         print(f"  {r['name']}: mean_noisy_wa={r['mean_noisy_wa']} "
