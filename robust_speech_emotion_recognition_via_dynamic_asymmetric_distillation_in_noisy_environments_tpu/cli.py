@@ -203,6 +203,8 @@ def _cmd_dad(args):
         kw["ecda_start_epoch"] = args.warmup_epochs
     if args.batch_size is not None:
         kw["batch_size"] = args.batch_size
+    if args.bucket_batches:
+        kw["bucket_batches"] = True
     cfg = dad_preset(args.corpus, **kw)
     mesh = None
     if args.dp > 0:
@@ -363,6 +365,8 @@ def _sweep_cfg_kw(args):
         kw["ecda_start_epoch"] = args.warmup_epochs
     if getattr(args, "batch_size", None) is not None:
         kw["batch_size"] = args.batch_size
+    if getattr(args, "bucket_batches", False):
+        kw["bucket_batches"] = True
     return kw
 
 
@@ -623,6 +627,10 @@ def _add_fused_args(p):
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--bucket-batches", action="store_true",
+                   help="bucket-homogeneous training batches (opt-in "
+                        "deviation from reference batch composition; "
+                        "PERFORMANCE.md r5)")
 
 
 def main(argv=None) -> int:
@@ -841,6 +849,14 @@ def main(argv=None) -> int:
     p.add_argument("--warmup-epochs", type=int, default=None,
                    help="override WARMUP_EPOCHS (and ECDA_START_EPOCH)")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--bucket-batches", action="store_true",
+                   help="regroup each training epoch into bucket-"
+                        "homogeneous batches (opt-in deviation from "
+                        "reference batch composition, PARITY.md). The "
+                        "reference-shaped uniform shuffle pads 3.9x more "
+                        "audio than it trains on at IEMOCAP scale — one "
+                        "long clip promotes the whole static-shape batch "
+                        "to the 16/30 s bucket (PERFORMANCE.md r5)")
     p.set_defaults(func=_cmd_dad)
 
     p = sub.add_parser("infer")

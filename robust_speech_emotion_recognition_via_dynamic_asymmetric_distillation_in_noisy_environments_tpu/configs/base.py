@@ -326,6 +326,16 @@ class DADConfig:
     random_seed: int = 42
     num_tracked_samples: int = 50  # confirmation-bias tracking (train.py:279)
     length_buckets: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
+    # TPU-first deviation knob, OFF by default (PARITY.md): regroup each
+    # training epoch's shuffled clips into bucket-homogeneous batches
+    # (data/batching.py epoch_order). At IEMOCAP scale the reference-shaped
+    # uniform shuffle pads 3.9x more audio than it trains on — one
+    # lognormal-tail clip promotes the whole static-shape batch to the 16 s
+    # or 30 s bucket (PERFORMANCE.md round 5). Changes only which clips
+    # share a batch; clip multiset, batch count and shuffle stream per
+    # epoch are unchanged. No reference counterpart (torch pads each batch
+    # to its own max at dynamic shapes, so it never pays this tax).
+    bucket_batches: bool = False
 
     dacp: DACPConfig = field(default_factory=DACPConfig)
     ecda: ECDAConfig = field(default_factory=ECDAConfig)
@@ -398,6 +408,7 @@ _REFERENCE_KNOBS = {
     "LABEL_SMOOTHING_FACTOR": "label_smoothing_factor",
     "USE_LABEL_SMOOTHING": "use_label_smoothing",
     "RANDOM_SEED": "random_seed",
+    "BUCKET_BATCHES": "bucket_batches",
     "VALIDATION_INTERVAL": "validation_interval",
     "MIN_DELTA": "min_delta",
 }

@@ -48,6 +48,74 @@ def pad_to_bucket(length: int, buckets: Sequence[int]) -> int:
     return int(np.ceil(length / top) * top)
 
 
+def epoch_order(
+    num: int,
+    *,
+    shuffle: bool,
+    seed: int,
+    epoch: int,
+    bucket_shuffle: bool = False,
+    sizes: Optional[np.ndarray] = None,
+    buckets: Optional[Sequence[int]] = None,
+    batch_size: Optional[int] = None,
+    max_frames: Optional[int] = None,
+) -> np.ndarray:
+    """The clip visit order for one epoch, shared by the host iterators and
+    the resident index projection (parallel/resident.py index_batches) so
+    the two paths stay bit-identical.
+
+    ``bucket_shuffle=False`` is the reference-shaped stream: a uniform
+    (seed, epoch) permutation, every batch padded to its own max clip
+    (train.py DataLoader shuffle=True). That is the right semantics on
+    dynamic-shape torch, but with static length buckets one lognormal-tail
+    clip promotes the whole batch to the next bucket: at IEMOCAP scale
+    88% of random B=64 batches pad to the 16 s wav bucket and 12% to 30 s
+    — 3.9x padded-vs-real audio (PERFORMANCE.md round 5).
+
+    ``bucket_shuffle=True`` (opt-in, off by default — a documented
+    deviation from reference batch composition, PARITY.md): take the SAME
+    per-epoch random draw, then regroup it so batches are
+    bucket-homogeneous — full batches are cut within each padded-length
+    bucket in shuffled-draw order, the per-bucket remainders concatenate
+    (bucket-sorted, so mixed batches stay adjacent-bucket) into the final
+    batches, and whole batches are then order-shuffled. Clip multiset,
+    batch count, and the last-partial-batch contract are unchanged; only
+    which clips share a batch moves.
+    """
+    order = np.arange(num)
+    if not shuffle:
+        return order
+    rng = np.random.default_rng((seed, epoch))
+    rng.shuffle(order)
+    if not bucket_shuffle or num == 0:
+        return order
+    if sizes is None or buckets is None or batch_size is None:
+        raise ValueError("bucket_shuffle needs sizes, buckets and batch_size")
+    eff = np.asarray(sizes)[order]
+    if max_frames is not None:
+        eff = np.minimum(eff, max_frames)
+    snap = {s: pad_to_bucket(int(s), buckets) for s in np.unique(eff)}
+    padded = np.array([snap[s] for s in eff])
+    B = int(batch_size)
+    full: list = []
+    rems: list = []
+    for b in sorted(set(padded.tolist())):
+        g = order[padded == b]  # shuffled-draw order within the bucket
+        n_full = len(g) // B * B
+        full.extend(g[i : i + B] for i in range(0, n_full, B))
+        if n_full < len(g):
+            rems.append(g[n_full:])
+    rest = np.concatenate(rems) if rems else np.empty(0, dtype=order.dtype)
+    tail = [rest[i : i + B] for i in range(0, len(rest), B)]
+    # the one short batch (num % B) must stay last so consecutive-B slicing
+    # reproduces these exact batches; all full batches shuffle freely
+    short = [b for b in tail if len(b) < B]
+    batches = full + [b for b in tail if len(b) == B]
+    perm = rng.permutation(len(batches))
+    batches = [batches[i] for i in perm] + short
+    return np.concatenate(batches) if batches else order
+
+
 class PaddedBatchIterator:
     """Deterministic, restartable batch iterator over a FeatureStore.
 
@@ -65,6 +133,7 @@ class PaddedBatchIterator:
         seed: int = 0,
         max_frames: Optional[int] = None,
         use_native: bool = True,
+        bucket_shuffle: bool = False,
     ):
         self.store = store
         self.batch_size = int(batch_size)
@@ -73,6 +142,7 @@ class PaddedBatchIterator:
         self.seed = seed
         self.epoch = 0
         self.max_frames = max_frames
+        self.bucket_shuffle = bucket_shuffle
         self._native = None
         if use_native and store.num and store.feats.dtype == np.float32:
             try:
@@ -95,11 +165,17 @@ class PaddedBatchIterator:
         self.epoch = epoch
 
     def _order(self) -> np.ndarray:
-        order = np.arange(self.store.num)
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
-            rng.shuffle(order)
-        return order
+        return epoch_order(
+            self.store.num,
+            shuffle=self.shuffle,
+            seed=self.seed,
+            epoch=self.epoch,
+            bucket_shuffle=self.bucket_shuffle,
+            sizes=self.store.sizes,
+            buckets=self.buckets,
+            batch_size=self.batch_size,
+            max_frames=self.max_frames,
+        )
 
     def __iter__(self) -> Iterator[Batch]:
         order = self._order()

@@ -19,7 +19,7 @@ from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence
 
 import numpy as np
 
-from .batching import pad_to_bucket
+from .batching import epoch_order, pad_to_bucket
 from .manifests import read_manifest
 from .store import read_label_sidecars
 from ..utils import get_logger
@@ -165,6 +165,7 @@ class PaddedWavIterator:
         shuffle: bool = False,
         seed: int = 0,
         labeled: bool = True,
+        bucket_shuffle: bool = False,
     ):
         self.store = store
         self.batch_size = int(batch_size)
@@ -173,6 +174,7 @@ class PaddedWavIterator:
         self.seed = seed
         self.labeled = labeled
         self.epoch = 0
+        self.bucket_shuffle = bucket_shuffle
 
     def __len__(self) -> int:
         return int(np.ceil(self.store.num / self.batch_size))
@@ -181,10 +183,16 @@ class PaddedWavIterator:
         self.epoch = epoch
 
     def __iter__(self) -> Iterator[WavBatch]:
-        order = np.arange(self.store.num)
-        if self.shuffle:
-            rng = np.random.default_rng((self.seed, self.epoch))
-            rng.shuffle(order)
+        order = epoch_order(
+            self.store.num,
+            shuffle=self.shuffle,
+            seed=self.seed,
+            epoch=self.epoch,
+            bucket_shuffle=self.bucket_shuffle,
+            sizes=self.store.sizes,
+            buckets=self.buckets,
+            batch_size=self.batch_size,
+        )
         B = self.batch_size
         labels = self.store.labels if self.labeled else None
         for start in range(0, len(order), B):

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.batching import Batch, pad_to_bucket
+from ..data.batching import Batch, epoch_order, pad_to_bucket
 from ..utils import get_logger
 from .fused import (
     CleanFeatureBatch,
@@ -210,12 +210,19 @@ def index_batches(it, epoch: int) -> Iterator[Tuple[np.ndarray, int]]:
     (tests pin this against the real iterators)."""
     it.set_epoch(epoch)
     sizes = np.asarray(it.store.sizes)
-    order = np.arange(len(sizes))
-    if it.shuffle:
-        rng = np.random.default_rng((it.seed, it.epoch))
-        rng.shuffle(order)
-    B = it.batch_size
     max_frames = getattr(it, "max_frames", None)
+    order = epoch_order(
+        len(sizes),
+        shuffle=it.shuffle,
+        seed=it.seed,
+        epoch=it.epoch,
+        bucket_shuffle=getattr(it, "bucket_shuffle", False),
+        sizes=sizes,
+        buckets=it.buckets,
+        batch_size=it.batch_size,
+        max_frames=max_frames,
+    )
+    B = it.batch_size
     for start in range(0, len(order), B):
         idx = order[start : start + B]
         t_max = int(sizes[idx].max()) if len(idx) else 1

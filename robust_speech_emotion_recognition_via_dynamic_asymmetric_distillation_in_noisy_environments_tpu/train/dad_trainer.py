@@ -250,6 +250,9 @@ class CrossDomainTrainer:
                 cfg.length_buckets,
                 shuffle=shuffle,
                 seed=cfg.random_seed + seed_offset,
+                # opt-in bucket-homogeneous batches; shuffled (train)
+                # iterators only — eval order is untouched
+                bucket_shuffle=shuffle and cfg.bucket_batches,
             )
 
         self.clean_train = it(clean_store, ctr, True)

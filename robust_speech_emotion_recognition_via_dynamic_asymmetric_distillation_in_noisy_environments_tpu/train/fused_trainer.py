@@ -383,6 +383,7 @@ class FusedCrossDomainTrainer(CrossDomainTrainer):
             shuffle=True,
             seed=self.cfg.random_seed + 7919,
             labeled=False,  # SSL: labels withheld (dataload_noisy.py:214)
+            bucket_shuffle=self.cfg.bucket_batches,
         )
 
         self._noise_bank = None

@@ -203,3 +203,131 @@ def test_short_sidecars_rejected(tmp_path, rng):
         f.write("\n".join(lines[:-1]) + "\n")
     with pytest.raises(ValueError, match="labels"):
         load_feature_store(d, {"ang": 0, "hap": 1, "neu": 2, "sad": 3})
+
+
+# ---------------------------------------------------------------------------
+# bucket-grouped epoch order (round 5: the product-scale IEMOCAP run showed
+# the reference-shaped uniform shuffle pads 3.9x more audio than it trains
+# on under static-shape buckets; bucket_shuffle is the opt-in remedy)
+
+
+def _lognormal_store(tmp_path, n=200, dim=4, seed=3):
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.store import (
+        write_feature_store,
+    )
+
+    rng = np.random.default_rng(seed)
+    clips, labels, names = [], [], []
+    for i in range(n):
+        t = int(np.clip(rng.lognormal(np.log(20), 0.6), 4, 200))
+        clips.append(rng.normal(size=(t, dim)).astype(np.float32))
+        labels.append(["ang", "hap", "neu", "sad"][i % 4])
+        names.append(f"Ses0{(i % 5) + 1}F_impro01_F{i:03d}")
+    d = str(tmp_path)
+    write_feature_store(d, clips, labels=labels, utt_names=names, sidecar="emo")
+    return load_feature_store(
+        d, label_map={"ang": 0, "hap": 1, "neu": 2, "sad": 3}
+    )
+
+
+def test_bucket_shuffle_is_a_permutation_with_same_batch_count(tmp_path):
+    store = _lognormal_store(tmp_path)
+    kw = dict(batch_size=16, buckets=(16, 32, 64, 128, 256), shuffle=True,
+              seed=11)
+    base = PaddedBatchIterator(store, **kw)
+    grouped = PaddedBatchIterator(store, bucket_shuffle=True, **kw)
+    for epoch in (0, 5):
+        base.set_epoch(epoch)
+        grouped.set_epoch(epoch)
+        a = [b for b in base]
+        g = [b for b in grouped]
+        assert len(a) == len(g)
+        ids_a = np.concatenate([b.ids[b.row_valid] for b in a])
+        ids_g = np.concatenate([b.ids[b.row_valid] for b in g])
+        # same clip multiset per epoch, different grouping
+        np.testing.assert_array_equal(np.sort(ids_a), np.sort(ids_g))
+        # the short partial batch stays last (consecutive-B slicing contract)
+        assert all(b.row_valid.all() for b in g[:-1])
+        # strictly fewer (or equal) padded frames than the uniform shuffle
+        padded_a = sum(b.feats.shape[1] * len(b.row_valid) for b in a)
+        padded_g = sum(b.feats.shape[1] * len(b.row_valid) for b in g)
+        assert padded_g < padded_a
+        # full batches are bucket-homogeneous: every valid clip in a batch
+        # snaps to the batch's own bucket, except the <=n_buckets leftover
+        # batches that merge per-bucket remainders
+        sizes = store.sizes
+        inhomog = 0
+        for b in g:
+            idx = b.ids[b.row_valid]
+            t = b.feats.shape[1]
+            snaps = {pad_to_bucket(int(sizes[i]), kw["buckets"]) for i in idx}
+            if snaps != {t}:
+                inhomog += 1
+        assert inhomog <= len(kw["buckets"])
+
+
+def test_bucket_shuffle_deterministic_and_epoch_varying(tmp_path):
+    store = _lognormal_store(tmp_path, n=90)
+    kw = dict(batch_size=8, buckets=(16, 64, 256), shuffle=True, seed=5,
+              bucket_shuffle=True)
+    it1 = PaddedBatchIterator(store, **kw)
+    it2 = PaddedBatchIterator(store, **kw)
+    it1.set_epoch(2)
+    it2.set_epoch(2)
+    np.testing.assert_array_equal(
+        np.concatenate([b.ids for b in it1]),
+        np.concatenate([b.ids for b in it2]),
+    )
+    it2.set_epoch(3)
+    assert not np.array_equal(
+        np.concatenate([b.ids for b in it1]),
+        np.concatenate([b.ids for b in it2]),
+    )
+
+
+def test_index_batches_matches_bucket_shuffled_iterators(tmp_path):
+    """The resident index projection must reproduce bucket-grouped epochs
+    bit-exactly for BOTH iterator kinds."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.data.wavstore import (
+        PaddedWavIterator, WavStore,
+    )
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        index_batches,
+    )
+
+    store = _lognormal_store(tmp_path, n=120)
+    feat_it = PaddedBatchIterator(
+        store, batch_size=16, buckets=(16, 64, 256), shuffle=True, seed=9,
+        bucket_shuffle=True, max_frames=100,
+    )
+    rng = np.random.default_rng(0)
+    sizes = np.clip(rng.lognormal(np.log(8000), 0.7, 77), 500, 64000).astype(
+        np.int64
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes[:-1])])
+    wav_store = WavStore(
+        samples=rng.normal(size=int(sizes.sum())).astype(np.float32),
+        sizes=sizes, offsets=offsets,
+        labels=np.arange(77, dtype=np.int32) % 4,
+    )
+    wav_it = PaddedWavIterator(
+        wav_store, batch_size=8, buckets=(4000, 16000, 64000), shuffle=True,
+        seed=13, bucket_shuffle=True,
+    )
+    for it, t_of in ((feat_it, lambda b: b.feats.shape[1]),
+                     (wav_it, lambda b: b.wav.shape[1])):
+        for epoch in (0, 7):
+            it.set_epoch(epoch)
+            real = [(b.ids.astype(np.int32), t_of(b)) for b in it]
+            proj = list(index_batches(it, epoch))
+            assert len(real) == len(proj)
+            for (rid, rt), (pid, pt) in zip(real, proj):
+                np.testing.assert_array_equal(rid, pid)
+                assert rt == pt
+
+
+def test_bucket_batches_config_knob():
+    cfg = dad_preset("iemocap")
+    assert cfg.bucket_batches is False  # reference-shaped default
+    cfg2 = apply_overrides(cfg, {"BUCKET_BATCHES": True})
+    assert cfg2.bucket_batches is True

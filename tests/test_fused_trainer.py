@@ -781,3 +781,51 @@ def test_resident_auto_budget_fallback(corpus, tmp_path):
     assert t._resident is None
     avg = t.train_epoch(0)  # streaming path still trains
     assert np.isfinite(avg["total_loss"])
+
+
+def test_resident_matches_streaming_with_bucket_batches(corpus, tmp_path):
+    """bucket_batches=True (round 5: bucket-homogeneous training batches)
+    must keep the resident gather path bit-identical to host streaming —
+    the grouped epoch order flows through data/batching.py epoch_order into
+    both the host iterators and the index projection."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.fused_trainer import (
+        prepare_fused_shared,
+    )
+
+    cfg = _dad_cfg(tmp_path, epochs=3, bucket_batches=True)
+    fused = FusedConfig(encoder=TINY_ENC, dad=cfg, inject_snr_db=10.0,
+                        cache_clean_features=True)
+    shared = prepare_fused_shared(cfg, corpus, TINY_ENC, tiny_enc_params(),
+                                  fused, None)
+    buckets = (4000, 6000, 8000)  # multiple buckets so grouping matters
+
+    def build(resident, sub):
+        c = _dad_cfg(tmp_path, epochs=3, bucket_batches=True,
+                     results_base_dir=str(tmp_path / sub))
+        return FusedCrossDomainTrainer(
+            c, corpus, TINY_ENC, tiny_enc_params(),
+            fused_cfg=FusedConfig(encoder=TINY_ENC, dad=c,
+                                  inject_snr_db=10.0),
+            fold=0, prefetch_depth=0, wav_buckets=buckets,
+            shared=shared, resident=resident,
+        )
+
+    stream = build(False, "stream")
+    res = build(True, "res")
+    assert res._resident is not None
+    # grouping engaged on the train iterators only
+    assert stream.noisy_wav_train.bucket_shuffle
+    assert stream.clean_train.bucket_shuffle
+    assert not stream.clean_test.bucket_shuffle
+
+    for epoch in (0, 1):
+        a = stream.train_epoch(epoch)
+        b = res.train_epoch(epoch)
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7,
+                                       err_msg=f"epoch {epoch} {k}")
+    for pa, pb in zip(jax.tree.leaves(stream.state.ssrl.student),
+                      jax.tree.leaves(res.state.ssrl.student)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-6, atol=1e-7)
+    assert stream.bias_analysis_log == res.bias_analysis_log
