@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field, replace
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple, Union
 
 
 @dataclass(frozen=True)
@@ -72,12 +72,19 @@ class EncoderConfig:
     # attention softmax in the compute dtype (exp still f32): halves the
     # materialized score traffic; False = f32 softmax (reference semantics)
     fast_softmax: bool = False
-    # route attention through the Pallas kernel (ops/attention.py). Off by
-    # default: at SER sequence lengths (~200-2k frames) XLA's fused attention
-    # outperforms the hand kernel (measured 33ms vs 46ms for the 12-block
-    # stack at B=64, N=256 on v5e) — the kernel remains available for the
-    # long-sequence regime where K/V streaming wins.
-    use_flash_attention: bool = False
+    # route attention through the Pallas kernel (ops/attention.py).
+    # False (default): at SHORT SER lengths (~200-256 frames) XLA's fused
+    # attention outperforms the hand kernel (measured 33ms vs 46ms for the
+    # 12-block stack at B=64, N=256 on v5e). "auto" (round 5): pick per
+    # compiled shape — the frame count is static under jit, so each length
+    # bucket independently routes to the Pallas kernel when
+    # N >= FLASH_AUTO_MIN_FRAMES (the product-scale IEMOCAP mix pads most
+    # batches to 800-1500 frames, where materializing (B,H,N,N) scores is
+    # the dominant HBM cost; PERFORMANCE.md round 5). True forces it.
+    # NB: the kernel is forward-only — "auto"/True apply to frozen-encoder
+    # or inference paths (fused DAD, extract, serving); the differentiated
+    # d2v pretrain stack keeps False.
+    use_flash_attention: Union[bool, str] = False
     # optional reference branches, dead with the shipped config but ported
     # for config-completeness (see PARITY.md dead-branch ledger):
     # Swin-v2-style cosine attention (modules.py:274-300)

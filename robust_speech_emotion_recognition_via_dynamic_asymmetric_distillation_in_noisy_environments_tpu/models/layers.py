@@ -16,12 +16,20 @@ running on TPU; the XLA einsum path is the reference semantics.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# use_flash="auto" routes attention to the Pallas kernel for compiled
+# shapes at or beyond this frame count (~10.2 s of audio at 50 Hz). Below
+# it XLA's fused attention wins (33 vs 46 ms for the 12-block stack at
+# N=256, PERFORMANCE.md round 2); above it the materialized (B,H,N,N)
+# score traffic dominates the step and the streaming kernel wins
+# (product-scale bucket mix, PERFORMANCE.md round 5).
+FLASH_AUTO_MIN_FRAMES = 512
 
 # GELU: torch nn.GELU() default is the exact erf formulation. The tanh
 # approximation is ~2x faster on this TPU (XLA's erf lowering costs ~10 ms on
@@ -237,7 +245,7 @@ class AltAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Union[bool, str] = False
     # softmax in the compute dtype (max-subtracted, exp in f32): halves the
     # materialized (B,H,N,N) score traffic — the single largest step cost.
     # Deviation vs the f32 path is at the bf16 rounding floor.
@@ -263,9 +271,16 @@ class AltAttention(nn.Module):
 
         # the Pallas kernel computes softmax internally and cannot drop
         # attention weights; when training with attention dropout active we
-        # must take the XLA path or silently lose regularization
+        # must take the XLA path or silently lose regularization.
+        # "auto": N is static under jit, so routing per compiled shape is
+        # free — XLA's fused attention wins at short SER lengths, the
+        # Pallas kernel at the 800+ frame buckets the product-scale length
+        # mix promotes batches to (PERFORMANCE.md round 5)
+        want_flash = self.use_flash is True or (
+            self.use_flash == "auto" and N >= FLASH_AUTO_MIN_FRAMES
+        )
         flash_ok = (
-            self.use_flash and bias is None and not self.cosine_attention
+            want_flash and bias is None and not self.cosine_attention
             and (deterministic or self.attn_drop == 0.0)
         )
         if flash_ok:
@@ -338,7 +353,7 @@ class AltBlock(nn.Module):
     norm_eps: float = 1e-6
     layer_norm_first: bool = False
     dtype: jnp.dtype = jnp.float32
-    use_flash: bool = False
+    use_flash: Union[bool, str] = False
     gelu_approximate: bool = False
     fast_ln: bool = False
     fast_softmax: bool = False

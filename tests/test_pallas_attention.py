@@ -61,3 +61,32 @@ def test_altattention_flash_equals_einsum(rng):
     np.testing.assert_allclose(
         np.asarray(out_x)[1, :12], np.asarray(out_f)[1, :12], atol=3e-5
     )
+
+
+def test_altattention_auto_routes_by_length(rng):
+    """use_flash="auto" (round 5): XLA path below FLASH_AUTO_MIN_FRAMES
+    (bit-identical to use_flash=False), Pallas kernel at/above it
+    (numerically equal). N is static under jit, so each length bucket
+    routes independently."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.models.layers import (
+        FLASH_AUTO_MIN_FRAMES,
+    )
+
+    assert FLASH_AUTO_MIN_FRAMES == 512  # documented crossover
+    for n, expect_flash in ((24, False), (520, True)):
+        x = rng.normal(size=(1, n, 16)).astype(np.float32)
+        mask = np.zeros((1, n), bool)
+        mask[0, n - 3:] = True
+        kw = dict(dim=16, num_heads=2, dtype=jnp.float32)
+        ref = AltAttention(use_flash=False, **kw)
+        params = ref.init(jax.random.PRNGKey(1), jnp.asarray(x), jnp.asarray(mask))
+        out_ref = np.asarray(ref.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+        auto = AltAttention(use_flash="auto", **kw)
+        out_auto = np.asarray(auto.apply(params, jnp.asarray(x), jnp.asarray(mask)))
+        if expect_flash:
+            # kernel numerics: equal within f32 softmax tolerance
+            np.testing.assert_allclose(out_auto[:, : n - 3], out_ref[:, : n - 3],
+                                       atol=3e-5)
+        else:
+            # below the crossover auto IS the XLA path
+            np.testing.assert_array_equal(out_auto, out_ref)
