@@ -158,15 +158,20 @@ def main():
     print(f"shared startup (decode + 2 extraction passes): "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
 
-    def build(resident, sub, transfer_dtype=None, scan_chunk=0):
+    def build(resident, sub, transfer_dtype=None, scan_chunk=0,
+              bucket=False, enc=None):
+        from dataclasses import replace as dc_replace
+
         c = dad_preset(
             args.style, batch_size=args.batch, epochs=500, warmup_epochs=1,
             ecda_start_epoch=1, validation_interval=10_000,
             results_base_dir=os.path.join(root, "results", sub),
+            bucket_batches=bucket,
         )
+        e = enc_cfg if enc is None else dc_replace(enc_cfg, **enc)
         return FusedCrossDomainTrainer(
-            c, manifest, enc_cfg, enc_params,
-            fused_cfg=FusedConfig(encoder=enc_cfg, dad=c,
+            c, manifest, e, enc_params,
+            fused_cfg=FusedConfig(encoder=e, dad=c,
                                   inject_snr_db=10.0,
                                   cache_clean_features=True),
             fold=0, prefetch_depth=2, shared=shared, resident=resident,
@@ -179,6 +184,14 @@ def main():
         "resident": lambda: build(True, "res"),
         "resident_scan": lambda: build(True, "rscan",
                                        scan_chunk=args.scan_chunk),
+        # round-5 remedies for the product-scale bucket-tail tax
+        # (PERFORMANCE.md r5): bucket-homogeneous batches, then + per-shape
+        # Pallas routing at the long buckets
+        "resident_bucket": lambda: build(True, "rb", bucket=True),
+        "resident_bucket_flash": lambda: build(
+            True, "rbf", bucket=True, enc={"use_flash_attention": "auto"}),
+        "resident_flash": lambda: build(
+            True, "rf", enc={"use_flash_attention": "auto"}),
     }
     wanted = ([v.strip() for v in args.variants.split(",") if v.strip()]
               or list(builders))
