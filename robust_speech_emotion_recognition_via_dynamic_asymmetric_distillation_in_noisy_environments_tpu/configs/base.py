@@ -73,14 +73,14 @@ class EncoderConfig:
     # materialized score traffic; False = f32 softmax (reference semantics)
     fast_softmax: bool = False
     # route attention through the Pallas kernel (ops/attention.py).
-    # False (default): at SHORT SER lengths (~200-256 frames) XLA's fused
-    # attention outperforms the hand kernel (measured 33ms vs 46ms for the
-    # 12-block stack at B=64, N=256 on v5e). "auto" (round 5): pick per
-    # compiled shape — the frame count is static under jit, so each length
-    # bucket independently routes to the Pallas kernel when
-    # N >= FLASH_AUTO_MIN_FRAMES (the product-scale IEMOCAP mix pads most
-    # batches to 800-1500 frames, where materializing (B,H,N,N) scores is
-    # the dominant HBM cost; PERFORMANCE.md round 5). True forces it.
+    # False (default): XLA's fused attention measured faster than the hand
+    # kernel at EVERY probed length on v5e — 33 vs 46 ms for the 12-block
+    # stack at N=256 (round 2), and 0.84x relative step speed at the
+    # 800/1500-frame product buckets (round 5) — so no shipped config
+    # enables this. "auto": route per compiled shape (frame count is
+    # static under jit), Pallas at N >= layers.FLASH_AUTO_MIN_FRAMES —
+    # a hardware-conditional knob for chips/models where the streaming
+    # kernel wins, not for this one. True forces it everywhere.
     # NB: the kernel is forward-only — "auto"/True apply to frozen-encoder
     # or inference paths (fused DAD, extract, serving); the differentiated
     # d2v pretrain stack keeps False.

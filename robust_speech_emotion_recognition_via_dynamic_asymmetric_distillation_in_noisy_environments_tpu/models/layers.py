@@ -24,11 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 # use_flash="auto" routes attention to the Pallas kernel for compiled
-# shapes at or beyond this frame count (~10.2 s of audio at 50 Hz). Below
-# it XLA's fused attention wins (33 vs 46 ms for the 12-block stack at
-# N=256, PERFORMANCE.md round 2); above it the materialized (B,H,N,N)
-# score traffic dominates the step and the streaming kernel wins
-# (product-scale bucket mix, PERFORMANCE.md round 5).
+# shapes at or beyond this frame count. NB: on THIS chip (v5e) the XLA
+# path measured faster at every probed length — 0.66x at 200 frames and
+# 0.84x at 800/1500 frames (full fused step, PERFORMANCE.md round 5) — so
+# "auto" stays off in every shipped config; the routing exists for
+# hardware/model regimes where the streaming kernel wins, with the
+# crossover parameterized here rather than hard-coded at call sites.
 FLASH_AUTO_MIN_FRAMES = 512
 
 # GELU: torch nn.GELU() default is the exact erf formulation. The tanh

@@ -42,12 +42,24 @@ from .mesh import batch_sharding, replicated
 logger = get_logger(__name__)
 
 
+# 1-D (waveform) corpora pad each clip's storage slot to this many samples
+# (512 B at f32 — one sublane tile row) so gather_clips can fetch whole
+# blocks: XLA lowers an element-wise (B, t) take from a flat HBM array to
+# a scalar gather that measured 0.1 GB/s effective on v5e (490 ms for a
+# 64 x 16 s batch — more than the whole encoder step; PERFORMANCE.md
+# round 5), while the 128-sample block gather runs at memory speed.
+_ALIGN = 128
+
+
 class ResidentClips(NamedTuple):
     """Flat clip corpus committed to device memory once per run.
 
     ``flat`` is (total_samples,) for waveforms or (total_frames, D) for
     features; clips are addressed by (offset, size), mirroring
-    data/store.FeatureStore and data/wavstore.WavStore.
+    data/store.FeatureStore and data/wavstore.WavStore. 1-D corpora are
+    stored with ``_ALIGN``-sample slot alignment (offsets all multiples of
+    ``_ALIGN``, zero fill between clips) — the invariant gather_clips's
+    block fast path relies on.
     """
 
     flat: jax.Array
@@ -90,6 +102,30 @@ def store_flat(store) -> np.ndarray:
     return store.feats if hasattr(store, "feats") else store.samples
 
 
+def _align_flat_1d(
+    flat: np.ndarray, sizes: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Re-lay a contiguous 1-D corpus with ``_ALIGN``-sample clip slots
+    (zero fill, offsets all multiples of ``_ALIGN``; total also padded to
+    a block multiple). Costs <= 127 samples per clip (~0.2% at 4 s clips)
+    and buys the block-gather fast path."""
+    sizes64 = np.asarray(sizes, np.int64)
+    slots = (sizes64 + _ALIGN - 1) // _ALIGN * _ALIGN
+    offsets = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    total = int(slots.sum())
+    if total >= 2**31:
+        raise ValueError(
+            f"corpus too large for int32 addressing after {_ALIGN}-sample "
+            f"slot alignment ({total} rows)"
+        )
+    src = np.concatenate([[0], np.cumsum(sizes64)[:-1]])
+    out = np.zeros(total, flat.dtype)
+    for i in range(len(sizes64)):
+        n = int(sizes64[i])
+        out[offsets[i] : offsets[i] + n] = flat[src[i] : src[i] + n]
+    return out, offsets.astype(np.int32)
+
+
 def resident_from_store(
     store,
     mesh=None,
@@ -105,6 +141,8 @@ def resident_from_store(
     with f32 pipelines.
     """
     flat, offsets, sizes = _compact(store)
+    if flat.ndim == 1:
+        flat, offsets = _align_flat_1d(flat, sizes)
     if dtype is not None:
         flat = flat.astype(dtype)
     labels = (
@@ -144,7 +182,12 @@ def resident_from_flat(
         raise ValueError(f"corpus too large for int32 addressing ({total} rows)")
     if total != len(flat):
         raise ValueError(f"flat length {len(flat)} != sizes sum {total}")
-    offsets = np.concatenate([[0], np.cumsum(sizes64)[:-1]]).astype(np.int32)
+    if np.ndim(flat) == 1:
+        flat, offsets = _align_flat_1d(np.asarray(flat), sizes64)
+    else:
+        offsets = np.concatenate([[0], np.cumsum(sizes64)[:-1]]).astype(
+            np.int32
+        )
     if labels is None:
         labels = np.full(len(sizes64), -1, np.int32)
     put = (
@@ -193,6 +236,30 @@ def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
     valid = (pos_t[None, :] < sz[:, None]) & (idx >= 0)[:, None]
     if frame_cap is not None and t > frame_cap:
         valid = valid & (pos_t[None, :] < frame_cap)
+    if (
+        c.flat.ndim == 1
+        and starts is None
+        and t % _ALIGN == 0
+        and c.flat.shape[0] % _ALIGN == 0
+        and c.flat.shape[0] > 0
+    ):
+        # block fast path: 1-D corpora are slot-aligned by construction
+        # (offsets all multiples of _ALIGN), so each output row is
+        # t/_ALIGN whole 128-sample blocks. The element-wise take below
+        # lowers to a scalar HBM gather that measured 0.1 GB/s on v5e —
+        # 490 ms for one 64 x 16 s batch, more than the entire encoder
+        # step — while this row gather runs at memory speed. Rows past a
+        # clip's slot read the next clip's data and are zeroed by
+        # ``valid``; the clamp guards the corpus tail.
+        n_blocks = c.flat.shape[0] // _ALIGN
+        blk = c.flat.reshape(n_blocks, _ALIGN)
+        rows = off[:, None] // _ALIGN + jnp.arange(
+            t // _ALIGN, dtype=jnp.int32
+        )[None, :]
+        rows = jnp.minimum(rows, n_blocks - 1)
+        out = jnp.take(blk, rows, axis=0).reshape(idx.shape[0], t)
+        out = jnp.where(valid, out, jnp.zeros((), out.dtype))
+        return out, ~valid
     pos = off[:, None] + jnp.minimum(
         pos_t[None, :], jnp.maximum(sz[:, None] - 1, 0)
     )
