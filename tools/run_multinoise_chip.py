@@ -140,7 +140,14 @@ def main():
     ]
     print("exec:", " ".join(cmd), file=sys.stderr)
     t0 = time.time()
-    proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True)
+    # APPEND the repo to PYTHONPATH (never replace: a bare PYTHONPATH
+    # clobbers the TPU plugin registration — CLAUDE.md)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    proc = subprocess.run(cmd, cwd=root, capture_output=True, text=True,
+                          env=env)
     wall = time.time() - t0
     log = proc.stdout + proc.stderr
     sys.stderr.write(log[-4000:])
