@@ -175,6 +175,15 @@ class D2vPretrainConfig:
     min_sample_size: int = 32_000
     normalize: bool = True
     random_seed: int = 42
+    # Crop-start granularity in samples (8 ms at 16 kHz when 128). Crop
+    # offsets are drawn as in fairseq then floored to this grid — BOTH the
+    # streaming loop and the resident index projection, so the two stay
+    # bit-identical. 128-aligned starts let the resident crop gather take
+    # the block fast path: the arbitrary-offset element gather measured
+    # 0.1 GB/s at an IEMOCAP-size corpus (98.7 ms of a ~220 ms step;
+    # PERFORMANCE.md round 5). Set 1 for fairseq's exact sample-level
+    # distribution (element gather on the resident path).
+    crop_align: int = 128
     # PRNG implementation for the training stream. "rbg" uses the TPU's
     # hardware generator: measured 1.15-1.25x faster d2v steps (threefry's
     # counter arithmetic is pure VPU work — dropout + mask draws are ~25

@@ -215,7 +215,8 @@ def resident_nbytes(store, dtype: Optional[str] = None) -> int:
 
 def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
                  frame_cap: Optional[int] = None,
-                 starts: Optional[jax.Array] = None):
+                 starts: Optional[jax.Array] = None,
+                 starts_aligned: bool = False):
     """Assemble the padded (B, t[, D]) batch for clip indices ``idx``
     (int32, -1 = padded row) — the on-device equivalent of
     PaddedBatchIterator/PaddedWavIterator row assembly: clips truncated to
@@ -225,7 +226,12 @@ def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
     clip — the fixed-size random-crop case (d2v pretraining's
     WavCropDataset row assembly): row b reads clip idx[b] samples
     [starts[b], starts[b] + t). Rows whose clip is shorter than ``t``
-    use starts[b] == 0 and pad, exactly like the host crop loop."""
+    use starts[b] == 0 and pad, exactly like the host crop loop.
+
+    ``starts_aligned`` (static): caller's guarantee that every start is a
+    multiple of ``_ALIGN`` (crop_align-quantized draws) — enables the
+    block fast path for crop gathers too. Values are NOT checked under
+    jit; an unaligned start with this flag set reads shifted samples."""
     safe = jnp.maximum(idx, 0)
     off = c.offsets[safe]
     sz = c.sizes[safe]
@@ -238,7 +244,7 @@ def gather_clips(c: ResidentClips, idx: jax.Array, t: int,
         valid = valid & (pos_t[None, :] < frame_cap)
     if (
         c.flat.ndim == 1
-        and starts is None
+        and (starts is None or starts_aligned)
         and t % _ALIGN == 0
         and c.flat.shape[0] % _ALIGN == 0
         and c.flat.shape[0] > 0
@@ -384,11 +390,18 @@ def make_resident_d2v_step(model, tx):
 
     core = make_d2v_train_step(model, tx, jit=False)
 
-    def step(state, corpus: ResidentClips, idx, starts, key, *, crop: int):
-        wav, pad = gather_clips(corpus, idx, crop, starts=starts)
+    def step(state, corpus: ResidentClips, idx, starts, key, *,
+             crop: int, starts_aligned: bool = False):
+        # starts_aligned: pcfg.crop_align % 128 == 0 quantizes every crop
+        # offset onto the block grid, switching the gather from the
+        # element path (0.1 GB/s at IEMOCAP-size corpora — 98.7 ms of a
+        # ~220 ms step; PERFORMANCE.md round 5) to whole-block rows
+        wav, pad = gather_clips(corpus, idx, crop, starts=starts,
+                                starts_aligned=starts_aligned)
         return core(state, wav.astype(jnp.float32), pad, key)
 
-    return jax.jit(step, static_argnames=("crop",), donate_argnums=(0,))
+    return jax.jit(step, static_argnames=("crop", "starts_aligned"),
+                   donate_argnums=(0,))
 
 
 def make_resident_dad_step(head, tx, cfg):

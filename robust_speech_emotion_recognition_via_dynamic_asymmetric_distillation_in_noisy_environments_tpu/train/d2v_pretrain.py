@@ -189,7 +189,10 @@ class WavCropDataset:
                     audio = _normalize_clip(audio)
                 n = len(audio)
                 if n > crop:
+                    # floored to the crop_align grid AFTER the draw so the
+                    # rng stream consumption matches index_crop_batches
                     s = int(rng.integers(0, n - crop + 1))
+                    s -= s % pcfg.crop_align
                     clip = audio[s : s + crop]
                     n = crop
                 else:
@@ -236,7 +239,8 @@ def index_crop_batches(
             idx[row] = g
             n = int(sizes[g])
             if n > crop:
-                starts[row] = int(rng.integers(0, n - crop + 1))
+                s = int(rng.integers(0, n - crop + 1))
+                starts[row] = s - s % pcfg.crop_align
         yield idx, starts
 
 
@@ -642,6 +646,7 @@ def run_d2v_pretrain(
                 state, mstack = resident_step(
                     state, resident_corpus, wavs, pads, key,
                     crop=pcfg.crop_size,
+                    starts_aligned=pcfg.crop_align % 128 == 0,
                 )
             elif chunk > 1:
                 k = int(wavs.shape[0])

@@ -1223,3 +1223,67 @@ def test_run_d2v_pretrain_resident_resume(tmp_path, monkeypatch):
     for ea, eb in zip(h_full, h_part):
         for key in ("loss", "d2v_loss", "cls_loss"):
             assert abs(ea[key] - eb[key]) < 1e-5, (ea["step"], key)
+
+
+def test_crop_align_quantizes_both_paths(tmp_path):
+    """Round 5: crop starts floor to the crop_align grid in BOTH the
+    streaming loop and the index projection (same rng consumption), so
+    resident stays bit-identical to streaming; crop_align=1 restores
+    fairseq's sample-level distribution."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.train.d2v_pretrain import (
+        WavCropDataset, index_crop_batches,
+    )
+
+    d = _write_wav_corpus(tmp_path)
+    pcfg = tiny_pcfg(crop_size=4096, min_sample_size=4000, batch_size=2)
+    assert pcfg.crop_align == 128  # product default
+    ds = WavCropDataset([d], pcfg)
+    _flat, sizes = ds.load_all_audio()
+    starts_all = np.concatenate(
+        [s for _i, s in index_crop_batches(ds, 0, 2, sizes)]
+    )
+    assert (starts_all % 128 == 0).all()
+    # unquantized config draws off-grid starts on the same corpus
+    pcfg1 = tiny_pcfg(crop_size=4096, min_sample_size=4000, batch_size=2,
+                      crop_align=1)
+    ds1 = WavCropDataset([d], pcfg1)
+    starts_raw = np.concatenate(
+        [s for _i, s in index_crop_batches(ds1, 0, 2, sizes)]
+    )
+    assert (starts_raw % 128 != 0).any()
+    # floor relation: quantized = raw - raw % 128 (same draws)
+    np.testing.assert_array_equal(starts_all, starts_raw - starts_raw % 128)
+    # streaming loop agrees with the projection (bit-identity contract)
+    (wav, pad) = next(iter(ds.batches(0, 2)))
+    idx, starts = next(index_crop_batches(ds, 0, 2, sizes))
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    for r in range(2):
+        g, s = int(idx[r]), int(starts[r])
+        n = min(int(sizes[g]) - s, pcfg.crop_size)
+        np.testing.assert_array_equal(
+            wav[r, :n], _flat[offsets[g] + s : offsets[g] + s + n]
+        )
+
+
+def test_gather_clips_starts_aligned_block_path(rng):
+    """starts_aligned=True (quantized crop offsets) must equal the element
+    path exactly — including short-remainder rows and -1 rows."""
+    from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.parallel.resident import (
+        gather_clips, resident_from_flat,
+    )
+
+    sizes = np.array([1000, 300, 777, 512], np.int64)
+    flat = rng.normal(size=int(sizes.sum())).astype(np.float32)
+    corpus = resident_from_flat(flat, sizes)
+    crop = 512  # multiple of 128 -> block path eligible
+    idx = np.array([0, 2, 3, -1, 1], np.int32)
+    starts = np.array([384, 128, 0, 0, 0], np.int32)
+    elem = jax.jit(lambda c, i, s: gather_clips(c, i, crop, starts=s))
+    blk = jax.jit(
+        lambda c, i, s: gather_clips(c, i, crop, starts=s,
+                                     starts_aligned=True)
+    )
+    oe, pe = elem(corpus, idx, starts)
+    ob, pb = blk(corpus, idx, starts)
+    np.testing.assert_array_equal(np.asarray(oe), np.asarray(ob))
+    np.testing.assert_array_equal(np.asarray(pe), np.asarray(pb))
