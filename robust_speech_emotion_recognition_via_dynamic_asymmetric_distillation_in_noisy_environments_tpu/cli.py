@@ -166,19 +166,23 @@ def _cmd_d2v_pack(args):
     return 0
 
 
-def _resolve_scan_chunk(arg, fused: bool, mesh_active: bool) -> int:
-    """Resolve `dad --scan-chunk` (None = unset). Defaults: 4 in feature
-    mode (measured best at IEMOCAP scale on the HOST-STREAMING feature
-    path, where chunking amortizes uploads; the feature+resident
-    combination inherits the same default without its own measurement),
-    per-step (0) in fused --from-wav mode (with metrics deferred on
-    device, per-step dispatch is fully async and the chunk-common bucket
-    padding costs 5-14%; PERFORMANCE.md round 4). Always per-batch under
-    a mesh — the sharded steps run one batch per dispatch."""
+def _resolve_scan_chunk(arg, fused: bool, mesh_active: bool,
+                        resident_off: bool = False) -> int:
+    """Resolve `dad --scan-chunk` (None = unset). Defaults: per-step (0)
+    everywhere EXCEPT the explicitly host-streaming feature path
+    (`--resident off`), where 4 amortizes the per-step feature uploads
+    (measured best at IEMOCAP scale, round 1). On the device-resident
+    feature path there are no uploads to amortize and per-step dispatch
+    measured 11.4 ms/batch vs 28.5-51.9 for chunked scans at IEMOCAP
+    scale (tools/bench_input_pipeline.py --resident, round 5 — closing
+    the round-4 advisor note that this default was inherited
+    unmeasured); fused --from-wav mode was already per-step
+    (PERFORMANCE.md round 4). Always per-batch under a mesh — the
+    sharded steps run one batch per dispatch."""
     if mesh_active:
         return 0
     if arg is None:
-        return 0 if fused else 4
+        return 4 if (not fused and resident_off) else 0
     return arg
 
 
@@ -212,7 +216,8 @@ def _cmd_dad(args):
 
         mesh = make_mesh(args.dp, tp=1, axis_names=("dp",))
     scan_chunk = _resolve_scan_chunk(args.scan_chunk, fused=False,
-                                     mesh_active=mesh is not None)
+                                     mesh_active=mesh is not None,
+                                     resident_off=args.resident == "off")
     # "auto" engages the device-resident corpus unless a mesh is given
     # (the dp-sharded feature step streams; see CrossDomainTrainer)
     resident = {"auto": "auto", "on": True, "off": False}[args.resident]
@@ -824,13 +829,14 @@ def main(argv=None) -> int:
     p.add_argument("--name", default=None)
     p.add_argument("--scan-chunk", type=int, default=None,
                    help="batches per lax.scan dispatch (0 = per-batch steps). "
-                        "Default: 4 in feature mode (measured best at IEMOCAP "
-                        "scale), 0 in --from-wav mode (per-step dispatch beat "
-                        "chunked scans on the resident corpus: chunk-common "
-                        "bucket padding costs more than async dispatch saves; "
-                        "PERFORMANCE.md r4). In --from-wav mode this scans "
-                        "the RESIDENT corpus (inert with --resident off); "
-                        "ignored under --dp/--tp")
+                        "Default: per-step (0) everywhere except the "
+                        "host-streaming feature path (--resident off), "
+                        "where 4 amortizes uploads — per-step beat chunked "
+                        "scans on BOTH resident paths (feature: 11.4 vs "
+                        "28.5-51.9 ms/batch at IEMOCAP scale, r5; fused: "
+                        "chunk-common bucket padding, r4). In --from-wav "
+                        "mode this scans the RESIDENT corpus (inert with "
+                        "--resident off); ignored under --dp/--tp")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="batches assembled ahead on a worker thread (0 = sync)")
     p.add_argument("--transfer-dtype", default=None,

@@ -238,19 +238,24 @@ def test_md_path_never_clobbers_results():
 
 
 def test_scan_chunk_defaults():
-    """`dad --scan-chunk` defaults differ by mode: 4 in feature mode
-    (host-streamed batches amortize uploads), per-step (0) in fused
-    --from-wav/resident mode, always per-batch under a mesh, explicit
-    values honored (PERFORMANCE.md round 4)."""
+    """`dad --scan-chunk` defaults: per-step (0) everywhere except the
+    explicitly host-streaming feature path (--resident off) where 4
+    amortizes uploads; always per-batch under a mesh; explicit values
+    honored (PERFORMANCE.md rounds 4-5 — per-step beat chunked scans on
+    both resident paths)."""
     from robust_speech_emotion_recognition_via_dynamic_asymmetric_distillation_in_noisy_environments_tpu.cli import (
         _resolve_scan_chunk,
     )
 
-    assert _resolve_scan_chunk(None, fused=False, mesh_active=False) == 4
+    # feature mode: resident (the default) -> per-step; streaming -> 4
+    assert _resolve_scan_chunk(None, fused=False, mesh_active=False) == 0
+    assert _resolve_scan_chunk(None, fused=False, mesh_active=False,
+                               resident_off=True) == 4
     assert _resolve_scan_chunk(None, fused=True, mesh_active=False) == 0
     assert _resolve_scan_chunk(8, fused=False, mesh_active=False) == 8
     assert _resolve_scan_chunk(8, fused=True, mesh_active=False) == 8
-    assert _resolve_scan_chunk(0, fused=False, mesh_active=False) == 0
+    assert _resolve_scan_chunk(0, fused=False, mesh_active=False,
+                               resident_off=True) == 0
     # a mesh forces per-batch dispatch regardless of mode or flag
     assert _resolve_scan_chunk(8, fused=False, mesh_active=True) == 0
     assert _resolve_scan_chunk(None, fused=True, mesh_active=True) == 0

@@ -52,8 +52,8 @@ def make_store(n, dim, seed, mean_frames=225, max_frames=512):
     )
 
 
-def run(n_clips, dim, epochs, combos):
-    print(f"store: {n_clips} clips x {dim}d", flush=True)
+def run(n_clips, dim, epochs, combos, resident=False):
+    print(f"store: {n_clips} clips x {dim}d resident={resident}", flush=True)
     clean = make_store(n_clips, dim, seed=0)
     noisy = make_store(n_clips, dim, seed=1)
     results = []
@@ -69,6 +69,7 @@ def run(n_clips, dim, epochs, combos):
             pretrain_params=None,  # random init; numerics irrelevant here
             scan_chunk=scan_chunk,
             prefetch_depth=depth,
+            resident=resident,
         )
         setup_s = time.time() - t0
         # one throwaway epoch to absorb compiles (post-warmup epoch index so
@@ -110,6 +111,13 @@ if __name__ == "__main__":
         default="0:0,0:2,4:2,8:0,8:2,16:2",
         help="comma list of scan_chunk:prefetch_depth",
     )
+    ap.add_argument("--resident", action="store_true",
+                    help="measure the device-resident feature path "
+                         "(the `cli dad --resident auto` default) instead "
+                         "of host streaming — closes the round-4 advisor "
+                         "note that the feature+resident scan default was "
+                         "inherited unmeasured")
     args = ap.parse_args()
     combos = [tuple(map(int, c.split(":"))) for c in args.combos.split(",")]
-    run(args.n_clips, args.dim, args.epochs, combos)
+    run(args.n_clips, args.dim, args.epochs, combos,
+        resident="auto" if args.resident else False)
